@@ -1,0 +1,134 @@
+"""User API / object model.
+
+Mirrors the reference's L4 surface (/root/reference/junctiontree/junctiontree.py):
+``create_junction_tree(factors, sizes)`` and the FactorGraph -> CliqueGraph ->
+JunctionTree chain, with ``JunctionTree.propagate(values)`` returning a list of
+unnormalized factor marginals with the same length and shapes as the inputs
+(junctiontree.py:297-331).  Under the hood everything runs on the compiled
+Plan/Engine (schedule.py / executor.py) instead of per-array NumPy loops.
+
+Extras beyond the reference surface: ``JunctionTree.engine()`` exposes the
+fast mask-query path (precomputed potentials + batched evidence), semirings
+other than sum-product actually work (max-product MAP, log-space), and
+compile stats are available via ``JunctionTree.stats()``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, List, Optional, Sequence
+
+import numpy as np
+
+from .executor import Engine
+from .ops.semirings import SEMIRINGS, SUM_PRODUCT, Semiring
+from .schedule import Plan, compile_plan
+
+
+def create_junction_tree(factors, sizes) -> "JunctionTree":
+    """Build a junction tree for the given factor graph.
+
+    factors: list of lists of hashable variable labels (one list per factor).
+    sizes:   dict label -> cardinality.
+
+    Same contract as reference junctiontree.py:12-16."""
+    for f in factors:
+        if not isinstance(f, (list, tuple)):
+            raise TypeError("factors must be given as lists of variables")
+    return FactorGraph(factors=factors, sizes=sizes).triangulate().create_junction_tree()
+
+
+class FactorGraph:
+    """A factor graph: factor variable-lists + variable sizes
+    (reference junctiontree.py:83-117)."""
+
+    def __init__(self, factors, sizes):
+        self.factors = [list(f) for f in factors]
+        self.sizes = dict(sizes)
+
+    def triangulate(self) -> "CliqueGraph":
+        plan = compile_plan(self.factors, self.sizes)
+        return CliqueGraph(self, plan)
+
+
+class CliqueGraph:
+    """Triangulated graph: maximal cliques + factor assignment
+    (reference junctiontree.py:120-274)."""
+
+    def __init__(self, factor_graph: FactorGraph, plan: Plan):
+        self.factor_graph = factor_graph
+        self._plan = plan
+
+    @property
+    def maxcliques(self) -> List[list]:
+        return [self._plan.table.labels_of(c) for c in self._plan.tri.maxcliques]
+
+    @property
+    def factor_to_maxclique(self) -> List[int]:
+        return list(self._plan.tri.factor_to_maxclique)
+
+    def create_junction_tree(self) -> "JunctionTree":
+        return JunctionTree(self, self._plan)
+
+    def evaluate(self, values: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Initial clique potentials (product of assigned factors, broadcast
+        to full clique shape).  NOTE: unlike the reference (which leaves
+        size-1 axes for clique vars not covered by any assigned factor,
+        junctiontree.py:203-226), potentials here always have the full
+        per-variable extents — the standard Hugin initialization."""
+        from .executor import evaluate_cliques
+        import jax.numpy as jnp
+
+        vals = [jnp.asarray(v, dtype=jnp.float32) for v in values]
+        return [np.asarray(p) for p in evaluate_cliques(self._plan, vals)]
+
+
+class JunctionTree:
+    """A compiled junction tree (reference junctiontree.py:277-331).
+
+    ``tree`` is the reference-format recursive list
+    ``[clique_ix, (sep_ix, subtree), ...]`` with separator ids offset by the
+    clique count (README.md:43-70), ``separators`` the separator variable
+    lists in label space."""
+
+    def __init__(self, clique_graph: CliqueGraph, plan: Plan):
+        self.clique_tree = clique_graph
+        self._plan = plan
+        self._engines: Dict[str, Engine] = {}
+
+    # ---- structure, in label space ----
+    @property
+    def tree(self) -> list:
+        return self._plan.tree.to_nested()
+
+    @property
+    def separators(self) -> List[list]:
+        return [self._plan.table.labels_of(s) for s in self._plan.tree.separators]
+
+    @property
+    def maxcliques(self) -> List[list]:
+        return self.clique_tree.maxcliques
+
+    @property
+    def plan(self) -> Plan:
+        return self._plan
+
+    def stats(self) -> dict:
+        return self._plan.stats()
+
+    # ---- execution ----
+    def engine(self, semiring: str = "sum_product") -> Engine:
+        if isinstance(semiring, Semiring):
+            key, sr = semiring.name, semiring
+        else:
+            key, sr = semiring, SEMIRINGS[semiring]
+        if key not in self._engines:
+            self._engines[key] = Engine(self._plan, sr)
+        return self._engines[key]
+
+    def propagate(
+        self, values: Sequence[np.ndarray], semiring: str = "sum_product"
+    ) -> List[np.ndarray]:
+        """Full Hugin propagation: factor values in, unnormalized factor
+        marginals out — same length and shapes as the input list (reference
+        junctiontree.py:297-331)."""
+        return self.engine(semiring).propagate(values)

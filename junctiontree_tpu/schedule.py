@@ -1,0 +1,135 @@
+"""Compile phase: factor graph -> static propagation plan.
+
+This is the seam the reference calls the "compilation phase"
+(/root/reference/README.md:72-77): everything here is host-side Python over
+interned ints — no array math.  The resulting :class:`Plan` is a pure-data
+artifact (JSON-serializable) that the executor turns into one jitted XLA
+program; it plays the role of the reference's in-memory ``JunctionTree`` attrs
+object (junctiontree.py:277-294) but is an explicit, saveable schedule.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Hashable, List, Optional, Sequence
+
+from .labels import LabelTable, intern_factors
+from .triangulate import Triangulation, min_fill_triangulation
+from .treebuild import JunctionTreeStructure, build_junction_tree
+
+
+@dataclass
+class Plan:
+    """A compiled junction-tree inference plan (all vars interned ints)."""
+
+    table: LabelTable
+    factors: List[List[int]]            # factor ix -> var ids
+    sizes: List[int]                    # var id -> cardinality
+    tri: Triangulation
+    tree: JunctionTreeStructure
+    var_to_clique: List[int]            # var id -> clique where evidence mask lands
+
+    @property
+    def clique_vars(self) -> List[List[int]]:
+        return self.tri.maxcliques
+
+    @property
+    def sep_vars(self) -> List[List[int]]:
+        return self.tree.separators
+
+    @property
+    def num_vars(self) -> int:
+        return len(self.sizes)
+
+    def clique_shape(self, c: int) -> tuple:
+        return tuple(self.sizes[v] for v in self.tri.maxcliques[c])
+
+    def sep_shape(self, s: int) -> tuple:
+        return tuple(self.sizes[v] for v in self.tree.separators[s])
+
+    def factor_shape(self, f: int) -> tuple:
+        return tuple(self.sizes[v] for v in self.factors[f])
+
+    # ---- observability: compile stats (SURVEY.md §5 tracing row) ----
+    def stats(self) -> Dict[str, Any]:
+        clique_states = [
+            int(_prod(self.sizes[v] for v in c)) for c in self.tri.maxcliques
+        ]
+        depth = 0
+        d = {self.tree.root: 0}
+        for c in self.tree.topo_order[1:]:
+            d[c] = d[self.tree.parent[c]] + 1
+            depth = max(depth, d[c])
+        return {
+            "num_vars": self.num_vars,
+            "num_factors": len(self.factors),
+            "num_cliques": self.tri.num_cliques,
+            "num_separators": len(self.tree.separators),
+            "treewidth": self.tri.treewidth,
+            "max_clique_states": max(clique_states) if clique_states else 0,
+            "total_clique_states": sum(clique_states),
+            "tree_depth": depth,
+        }
+
+    # ---- checkpoint/resume of the compile artifact (SURVEY.md §5) ----
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "labels": [repr(x) for x in self.table.labels],
+                "factors": self.factors,
+                "sizes": self.sizes,
+                "maxcliques": self.tri.maxcliques,
+                "factor_to_maxclique": self.tri.factor_to_maxclique,
+                "elimination_order": self.tri.elimination_order,
+                "fill_edges": self.tri.fill_edges,
+                "separators": self.tree.separators,
+                "edges": self.tree.edges,
+                "root": self.tree.root,
+                "var_to_clique": self.var_to_clique,
+            }
+        )
+
+
+def _prod(xs) -> int:
+    p = 1
+    for x in xs:
+        p *= int(x)
+    return p
+
+
+def compile_plan(
+    factors: Sequence[Sequence[Hashable]],
+    sizes: Dict[Hashable, int],
+    root: Optional[int] = None,
+) -> Plan:
+    """Full compile path: intern -> triangulate -> junction tree -> plan.
+
+    Mirrors the reference stack ``create_junction_tree`` -> ``triangulate`` ->
+    ``create_junction_tree`` (SURVEY.md §3.1) in one host-side call."""
+    table, int_factors, int_sizes = intern_factors(factors, sizes)
+    if not int_factors:
+        raise ValueError("need at least one factor")
+    tri = min_fill_triangulation(int_factors, int_sizes)
+    if root is None:
+        root = 0
+    tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
+
+    # evidence landing site: smallest clique containing each var
+    var_to_clique = [-1] * len(int_sizes)
+    clique_states = [_prod(int_sizes[v] for v in c) for c in tri.maxcliques]
+    for ci, c in enumerate(tri.maxcliques):
+        for v in c:
+            cur = var_to_clique[v]
+            if cur < 0 or clique_states[ci] < clique_states[cur]:
+                var_to_clique[v] = ci
+    assert all(ci >= 0 for ci in var_to_clique)
+
+    return Plan(
+        table=table,
+        factors=int_factors,
+        sizes=int_sizes,
+        tri=tri,
+        tree=tree,
+        var_to_clique=var_to_clique,
+    )

@@ -1,0 +1,177 @@
+"""Min-fill triangulation (host-side compile phase).
+
+Behavioral equivalent of the reference's ``find_triangulation``
+(/root/reference/junctiontree/construction.py:176-353): min-fill elimination
+with min-weight tie-break (weight = product of variable sizes over the closed
+neighborhood, construction.py:98-108), maximal-clique extraction with
+subset-reuse (construction.py:260-272), and factor->maxclique assignment.
+
+Differences, by design (TPU-first rebuild, not a port):
+  * all variables are pre-interned ints (no string-comparison heap hazard);
+  * scores are updated incrementally (only vars whose neighborhood changed are
+    rescored) instead of rebuilding a global heap after every elimination
+    (reference construction.py:166-172 is O(V*E) per step — the measured
+    scalability cliff in SURVEY.md §6);
+  * ties beyond (fill, weight) break on the smallest interned id, which is the
+    label insertion order — deterministic for any hashable labels;
+  * each factor is assigned to the smallest-weight maxclique containing it
+    (the reference assigns to the clique formed when the factor is first
+    touched, construction.py:350-351 — either choice yields correct marginals).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Set, Tuple
+
+
+@dataclass(frozen=True)
+class Triangulation:
+    """Result of triangulating a factor graph (all vars are interned ints)."""
+
+    maxcliques: List[List[int]]          # sorted var ids per maximal clique
+    factor_to_maxclique: List[int]       # factor ix -> clique ix (-1: empty-scope)
+    elimination_order: List[int]         # var ids in elimination order
+    fill_edges: List[Tuple[int, int]]    # added chordalization edges
+    treewidth: int                       # max clique size - 1
+
+    @property
+    def num_cliques(self) -> int:
+        return len(self.maxcliques)
+
+
+def build_adjacency(factors: Sequence[Sequence[int]], num_vars: int) -> List[Set[int]]:
+    """Undirected moral graph: vars co-occurring in a factor are adjacent.
+
+    Mirrors reference ``factors_to_undirected_graph`` (construction.py:39-55)
+    but as int adjacency sets rather than a frozenset-edge -> factor-set map.
+    """
+    adj: List[Set[int]] = [set() for _ in range(num_vars)]
+    for f in factors:
+        for i, u in enumerate(f):
+            for v in f[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    return adj
+
+
+def _fill_count(adj: List[Set[int]], v: int) -> int:
+    """Number of edges that eliminating v would add among its neighbors."""
+    nbrs = list(adj[v])
+    n = len(nbrs)
+    missing = 0
+    for i in range(n):
+        ai = adj[nbrs[i]]
+        for j in range(i + 1, n):
+            if nbrs[j] not in ai:
+                missing += 1
+    return missing
+
+
+def _weight(adj: List[Set[int]], sizes: Sequence[int], v: int) -> int:
+    """Product of sizes over the closed neighborhood of v (construction.py:107)."""
+    w = sizes[v]
+    for u in adj[v]:
+        w *= sizes[u]
+    return w
+
+
+def min_fill_triangulation(
+    factors: Sequence[Sequence[int]],
+    sizes: Sequence[int],
+) -> Triangulation:
+    """Eliminate all variables by (fill, weight, id)-min order, collecting
+    maximal cliques and the chordalizing fill edges."""
+    num_vars = len(sizes)
+    adj = build_adjacency(factors, num_vars)
+    remaining: Set[int] = set(range(num_vars))
+
+    # initial scores for every variable
+    scores: Dict[int, Tuple[int, int]] = {
+        v: (_fill_count(adj, v), _weight(adj, sizes, v)) for v in remaining
+    }
+
+    maxcliques: List[List[int]] = []
+    clique_sets: List[Set[int]] = []
+    elim_order: List[int] = []
+    fill_edges: List[Tuple[int, int]] = []
+
+    while remaining:
+        # pick min (fill, weight, id)
+        best = min(remaining, key=lambda v: (scores[v][0], scores[v][1], v))
+        elim_order.append(best)
+
+        nbrs = [u for u in adj[best] if u in remaining]
+        cluster = set(nbrs)
+        cluster.add(best)
+
+        # add fill edges among the neighbors
+        dirty: Set[int] = set()
+        for i, u in enumerate(nbrs):
+            for w in nbrs[i + 1:]:
+                if w not in adj[u]:
+                    adj[u].add(w)
+                    adj[w].add(u)
+                    fill_edges.append((u, w) if u < w else (w, u))
+                    dirty.add(u)
+                    dirty.add(w)
+
+        # remove best from the graph
+        for u in nbrs:
+            adj[u].discard(best)
+        remaining.discard(best)
+        scores.pop(best, None)
+
+        # record the cluster as a maxclique unless contained in an existing one
+        # (reference find_maxclique, construction.py:260-272)
+        for cs in clique_sets:
+            if cluster <= cs:
+                break
+        else:
+            clique_sets.append(cluster)
+            maxcliques.append(sorted(cluster))
+
+        # rescore: any var whose neighborhood changed (neighbors of best, and
+        # endpoints of new fill edges affect their neighbors' fill counts)
+        to_rescore: Set[int] = set(nbrs)
+        for u in dirty:
+            to_rescore.update(x for x in adj[u] if x in remaining)
+        for v in to_rescore:
+            if v in remaining:
+                scores[v] = (_fill_count(adj, v), _weight(adj, sizes, v))
+
+    # assign each factor to its smallest-weight containing maxclique;
+    # empty-scope (scalar) factors get -1 and are folded in as global scale
+    clique_weights = [1 for _ in maxcliques]
+    for ci, c in enumerate(maxcliques):
+        w = 1
+        for v in c:
+            w *= sizes[v]
+        clique_weights[ci] = w
+
+    factor_to_maxclique: List[int] = []
+    for f in factors:
+        if len(f) == 0:
+            factor_to_maxclique.append(-1)
+            continue
+        fset = set(f)
+        best_ci = -1
+        best_w = None
+        for ci, cs in enumerate(clique_sets):
+            if fset <= cs:
+                if best_w is None or clique_weights[ci] < best_w:
+                    best_ci, best_w = ci, clique_weights[ci]
+        if best_ci < 0:
+            raise AssertionError(
+                "no maxclique contains factor %r — elimination invariant broken" % (f,)
+            )
+        factor_to_maxclique.append(best_ci)
+
+    treewidth = max((len(c) for c in maxcliques), default=1) - 1
+    return Triangulation(
+        maxcliques=maxcliques,
+        factor_to_maxclique=factor_to_maxclique,
+        elimination_order=elim_order,
+        fill_edges=fill_edges,
+        treewidth=treewidth,
+    )
