@@ -28,6 +28,22 @@ import jax.numpy as jnp
 
 _LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+# TPU MXU precision for sum-product einsums.  "highest" keeps float32
+# accumulated contractions (exact-inference default; ~1e-7 parity with CPU);
+# "default" allows bf16 MXU passes (~1e-3 error, higher throughput) — flip it
+# for throughput-bound serving with set_matmul_precision("default").
+_MATMUL_PRECISION = "highest"
+
+
+def set_matmul_precision(p: str) -> None:
+    global _MATMUL_PRECISION
+    assert p in ("default", "high", "highest")
+    _MATMUL_PRECISION = p
+
+
+def get_matmul_precision() -> str:
+    return _MATMUL_PRECISION
+
 
 def make_subscripts(
     operand_vars: Sequence[Sequence[int]], out_vars: Sequence[int]
@@ -99,7 +115,10 @@ class Semiring:
         """
         if self.name == "sum_product":
             return jnp.einsum(
-                make_subscripts(operand_vars, out_vars), *operands, optimize=True
+                make_subscripts(operand_vars, out_vars),
+                *operands,
+                optimize=True,
+                precision=_MATMUL_PRECISION,
             )
         scope = _union_scope(operand_vars, out_vars)
         acc = _broadcast_to_scope(operands[0], operand_vars[0], scope)
