@@ -72,23 +72,93 @@ class Plan:
             "tree_depth": depth,
         }
 
-    # ---- checkpoint/resume of the compile artifact (SURVEY.md §5) ----
+    # ---- checkpoint/resume of the compile artifact (SURVEY.md §5): the
+    # reference keeps its compiled tree only in memory (junctiontree.py:
+    # 277-294); here triangulation cost is paid once per model ----
     def to_json(self) -> str:
         return json.dumps(
             {
-                "labels": [repr(x) for x in self.table.labels],
+                "version": 1,
+                "labels": [_encode_label(x) for x in self.table.labels],
                 "factors": self.factors,
                 "sizes": self.sizes,
                 "maxcliques": self.tri.maxcliques,
                 "factor_to_maxclique": self.tri.factor_to_maxclique,
                 "elimination_order": self.tri.elimination_order,
-                "fill_edges": self.tri.fill_edges,
+                "fill_edges": [list(e) for e in self.tri.fill_edges],
+                "treewidth": self.tri.treewidth,
                 "separators": self.tree.separators,
-                "edges": self.tree.edges,
+                "edges": [list(e) for e in self.tree.edges],
                 "root": self.tree.root,
                 "var_to_clique": self.var_to_clique,
             }
         )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+
+def _encode_label(x) -> list:
+    if isinstance(x, str):
+        return ["s", x]
+    if isinstance(x, bool):
+        return ["b", x]
+    if isinstance(x, int):
+        return ["i", x]
+    if isinstance(x, float):
+        return ["f", x]
+    import base64
+    import pickle
+
+    return ["p", base64.b64encode(pickle.dumps(x)).decode("ascii")]
+
+
+def _decode_label(t):
+    tag, v = t
+    if tag in ("s", "b", "i", "f"):
+        return v
+    import base64
+    import pickle
+
+    return pickle.loads(base64.b64decode(v))
+
+
+def plan_from_json(js: str) -> Plan:
+    """Inverse of Plan.to_json: rebuild the full compiled plan without
+    re-running triangulation."""
+    from .treebuild import build_junction_tree_from_edges
+
+    d = json.loads(js)
+    table = LabelTable()
+    for t in d["labels"]:
+        table.intern(_decode_label(t))
+    tri = Triangulation(
+        maxcliques=[list(c) for c in d["maxcliques"]],
+        factor_to_maxclique=list(d["factor_to_maxclique"]),
+        elimination_order=list(d["elimination_order"]),
+        fill_edges=[tuple(e) for e in d["fill_edges"]],
+        treewidth=d["treewidth"],
+    )
+    tree = build_junction_tree_from_edges(
+        len(tri.maxcliques),
+        [list(s) for s in d["separators"]],
+        [tuple(e) for e in d["edges"]],
+        d["root"],
+    )
+    return Plan(
+        table=table,
+        factors=[list(f) for f in d["factors"]],
+        sizes=list(d["sizes"]),
+        tri=tri,
+        tree=tree,
+        var_to_clique=list(d["var_to_clique"]),
+    )
+
+
+def load_plan(path: str) -> Plan:
+    with open(path) as f:
+        return plan_from_json(f.read())
 
 
 def _prod(xs) -> int:

@@ -85,13 +85,30 @@ def build_junction_tree(
             w *= sizes[v]
         weights.append(w)
 
-    # candidate separators: all O(n^2) pairs, Jensen sort
+    # candidate separators: only clique pairs sharing >=1 variable (via a
+    # var -> cliques inverted index), instead of the reference's all-O(n^2)
+    # pairs (construction.py:536-539) — the all-pairs sweep is quadratic in
+    # clique count and dominates build time on long chains.  Disconnected
+    # components are linked afterwards by empty separators, preserving the
+    # reference's join-forests-with-empty-sepsets behavior
+    # (construction.py:530).
+    num_vars = max((v for c in maxcliques for v in c), default=-1) + 1
+    var_cliques: List[List[int]] = [[] for _ in range(num_vars)]
+    for ci, c in enumerate(maxcliques):
+        for v in c:
+            var_cliques[v].append(ci)
+    pair_set = set()
+    for group in var_cliques:
+        for i, a in enumerate(group):
+            for b in group[i + 1:]:
+                pair_set.add((a, b) if a < b else (b, a))
     candidates: List[Tuple[int, int, int, List[int]]] = []  # (a, b, wsum, sep)
-    for a in range(n):
-        for b in range(a + 1, n):
-            sep = sorted(clique_sets[a] & clique_sets[b])
-            candidates.append((a, b, weights[a] + weights[b], sep))
-    candidates.sort(key=lambda t: (-len(t[3]), t[2]))
+    for a, b in pair_set:
+        sep = sorted(clique_sets[a] & clique_sets[b])
+        candidates.append((a, b, weights[a] + weights[b], sep))
+    # Jensen criterion: largest separator mass first, then smallest weight
+    # sum; (a, b) tie-break for determinism.
+    candidates.sort(key=lambda t: (-len(t[3]), t[2], t[0], t[1]))
 
     uf = _UnionFind(n)
     separators: List[List[int]] = []
@@ -104,17 +121,49 @@ def build_junction_tree(
             separators.append(sep)
             edges.append((a, b, sep_ix))
 
+    # link remaining components with empty separators (smallest-weight
+    # representative per component, matching the min-weight tie-break)
+    if len(edges) < n - 1:
+        reps: dict = {}
+        for ci in range(n):
+            r = uf.find(ci)
+            if r not in reps or weights[ci] < weights[reps[r]]:
+                reps[r] = ci
+        comp = sorted(reps.values(), key=lambda ci: (weights[ci], ci))
+        for other in comp[1:]:
+            if uf.union(comp[0], other):
+                sep_ix = len(separators)
+                separators.append([])
+                edges.append((comp[0], other, sep_ix))
+
     # root the tree: BFS from `root` over the edge adjacency
-    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    return build_junction_tree_from_edges(n, separators, edges, root)
+
+
+def reroot(structure: JunctionTreeStructure, new_root: int) -> JunctionTreeStructure:
+    """Re-root the tree at another clique (role of reference ``change_root``,
+    construction.py:377-408, without the recursive rebuild): same edges, new
+    parent/children orientation."""
+    return build_junction_tree_from_edges(
+        structure.num_cliques, structure.separators, structure.edges, new_root
+    )
+
+
+def build_junction_tree_from_edges(
+    num_cliques: int,
+    separators: List[List[int]],
+    edges: List[Tuple[int, int, int]],
+    root: int,
+) -> JunctionTreeStructure:
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(num_cliques)]
     for a, b, s in edges:
         adj[a].append((b, s))
         adj[b].append((a, s))
-
-    parent = [-1] * n
-    parent_sep = [-1] * n
-    children: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    parent = [-1] * num_cliques
+    parent_sep = [-1] * num_cliques
+    children: List[List[Tuple[int, int]]] = [[] for _ in range(num_cliques)]
     topo: List[int] = [root]
-    seen = [False] * n
+    seen = [False] * num_cliques
     seen[root] = True
     head = 0
     while head < len(topo):
@@ -127,10 +176,9 @@ def build_junction_tree(
                 parent_sep[nxt] = s
                 children[c].append((nxt, s))
                 topo.append(nxt)
-    assert all(seen), "junction tree is disconnected after Kruskal sweep"
-
+    assert all(seen), "edge list does not span all cliques"
     return JunctionTreeStructure(
-        num_cliques=n,
+        num_cliques=num_cliques,
         separators=separators,
         edges=edges,
         root=root,
@@ -139,6 +187,29 @@ def build_junction_tree(
         children=children,
         topo_order=topo,
     )
+
+
+def get_clique(structure: JunctionTreeStructure, clique_vars, var: int):
+    """Index of a clique containing ``var``, or None (role of reference
+    ``get_clique``, construction.py:6-36)."""
+    for ci in structure.topo_order:
+        if var in clique_vars[ci]:
+            return ci
+    return None
+
+
+def generate_potential_pairs(
+    structure: JunctionTreeStructure,
+) -> List[Tuple[int, int]]:
+    """(clique, separator) pairs for every parent->child edge, separator ids
+    offset by the clique count — the canonicalized tree-shape representation
+    the reference compares trees with (construction.py:624-640,
+    tests/util.py:237-246)."""
+    out: List[Tuple[int, int]] = []
+    for c in structure.topo_order:
+        for child, s in structure.children[c]:
+            out.append((c, structure.num_cliques + s))
+    return out
 
 
 def bf_traverse(structure: JunctionTreeStructure) -> List[int]:

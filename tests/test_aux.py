@@ -1,0 +1,157 @@
+"""Auxiliary subsystem tests: plan serialization, config, UAI format,
+tree surgery utilities, timers."""
+
+import numpy as np
+import pytest
+
+import junctiontree_tpu as jt
+from junctiontree_tpu.config import Config
+from junctiontree_tpu.schedule import compile_plan, load_plan, plan_from_json
+from junctiontree_tpu.treebuild import (
+    generate_potential_pairs,
+    get_clique,
+    reroot,
+)
+from junctiontree_tpu.utils.timing import PhaseTimers, log_compile_stats
+from junctiontree_tpu.utils.uai import (
+    parse_evidence,
+    parse_uai,
+    write_uai,
+)
+
+from .util import brute_force_marginals, grid_mrf, random_values
+
+
+def test_plan_json_roundtrip(tmp_path):
+    factors, sizes = grid_mrf(3, 3)
+    plan = compile_plan(factors, sizes)
+    path = str(tmp_path / "plan.json")
+    plan.save(path)
+    plan2 = load_plan(path)
+    assert plan2.factors == plan.factors
+    assert plan2.sizes == plan.sizes
+    assert plan2.clique_vars == plan.clique_vars
+    assert plan2.tree.edges == plan.tree.edges
+    assert plan2.tree.topo_order == plan.tree.topo_order
+    assert plan2.table.labels == plan.table.labels
+    # a reloaded plan must execute identically
+    from junctiontree_tpu.executor import Engine
+
+    values = random_values(factors, sizes, seed=0)
+    out1 = Engine(plan).propagate(values)
+    out2 = Engine(plan2).propagate(values)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_plan_roundtrip_exotic_labels():
+    plan = compile_plan(
+        [[("a", 1), 7], [7, 2.5]], {("a", 1): 2, 7: 3, 2.5: 2}
+    )
+    plan2 = plan_from_json(plan.to_json())
+    assert plan2.table.labels == [("a", 1), 7, 2.5]
+
+
+def test_reroot_preserves_semantics():
+    factors, sizes = grid_mrf(3, 3)
+    plan = compile_plan(factors, sizes)
+    values = random_values(factors, sizes, seed=1)
+    out1 = jt.Engine(plan).propagate(values)
+
+    plan.tree.__dict__.update(reroot(plan.tree, plan.tri.num_cliques - 1).__dict__)
+    out2 = jt.Engine(plan).propagate(values)
+    for a, b in zip(out1, out2):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_get_clique_and_potential_pairs():
+    factors, sizes = grid_mrf(2, 3)
+    plan = compile_plan(factors, sizes)
+    for v in range(plan.num_vars):
+        ci = get_clique(plan.tree, plan.clique_vars, v)
+        assert ci is not None and v in plan.clique_vars[ci]
+    assert get_clique(plan.tree, plan.clique_vars, 9999) is None
+    pairs = generate_potential_pairs(plan.tree)
+    assert len(pairs) == len(plan.tree.separators)
+    for c, s_off in pairs:
+        assert 0 <= c < plan.tri.num_cliques
+        assert s_off >= plan.tri.num_cliques
+
+
+def test_config_apply():
+    from junctiontree_tpu.ops.semirings import get_matmul_precision
+
+    Config(matmul_precision="default").apply()
+    assert get_matmul_precision() == "default"
+    Config().apply()
+    assert get_matmul_precision() == "highest"
+
+
+def test_phase_timers():
+    t = PhaseTimers()
+    with t.phase("compile"):
+        pass
+    with t.phase("compile"):
+        pass
+    rep = t.report()
+    assert t.counts["compile"] == 2
+    assert rep["compile"] >= 0
+
+
+def test_uai_roundtrip_and_inference():
+    factors, sizes = grid_mrf(2, 3)
+    values = random_values(factors, sizes, seed=4)
+    # write as UAI (int labels)
+    int_factors = [
+        [list(sizes).index(v) for v in f] for f in factors
+    ]
+    int_sizes = {i: sizes[v] for i, v in enumerate(sizes)}
+    text = write_uai(int_factors, int_sizes, values)
+    f2, s2, v2 = parse_uai(text)
+    assert f2 == int_factors
+    assert s2 == int_sizes
+    for a, b in zip(v2, values):
+        np.testing.assert_allclose(a, b)
+
+    tree = jt.create_junction_tree(f2, s2)
+    out = tree.propagate(v2)
+    expect = brute_force_marginals(f2, s2, v2, f2)
+    for o, e in zip(out, expect):
+        np.testing.assert_allclose(o, e, rtol=1e-6)
+
+
+def test_uai_bayes_and_evidence():
+    text = """BAYES
+2
+2 3
+2
+1 0
+2 0 1
+2
+ 0.4 0.6
+6
+ 0.2 0.3 0.5 0.1 0.1 0.8
+"""
+    factors, sizes, values = parse_uai(text)
+    assert factors == [[0], [0, 1]]
+    assert sizes == {0: 2, 1: 3}
+    assert values[1].shape == (2, 3)
+    ev = parse_evidence("2 0 1 1 2")
+    assert ev == {0: 1, 1: 2}
+
+
+def test_uai_errors():
+    with pytest.raises(ValueError):
+        parse_uai("CHAIN 1 2 0")
+    with pytest.raises(ValueError):
+        parse_uai("MARKOV\n1\n2\n1\n1 0\n3\n0.1 0.2 0.3")
+
+
+def test_log_compile_stats_smoke(caplog):
+    import logging
+
+    factors, sizes = grid_mrf(2, 2)
+    plan = compile_plan(factors, sizes)
+    with caplog.at_level(logging.INFO, logger="junctiontree_tpu"):
+        log_compile_stats(plan)
+    assert "treewidth" in caplog.text
