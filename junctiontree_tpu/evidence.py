@@ -75,6 +75,30 @@ def batch_masks(
     return masks
 
 
+def batch_masks_sparse(
+    plan: Plan,
+    evidence_batch: Sequence[Dict[Hashable, int]],
+    semiring: Semiring = SUM_PRODUCT,
+) -> Dict[Hashable, np.ndarray]:
+    """Like ``batch_masks`` but returns masks only for variables observed
+    somewhere in the batch: {label: [B, size_v]}.  Rows where a variable is
+    unobserved get all-ones.  Feeding this to ``Engine.query_batch`` keeps
+    evidence-free parts of the junction tree unbatched."""
+    B = len(evidence_batch)
+    zero = -np.inf if semiring.is_log else 0.0
+    labels = sorted({k for ev in evidence_batch for k in ev}, key=repr)
+    out: Dict[Hashable, np.ndarray] = {}
+    for label in labels:
+        v = plan.table.id_of(label)
+        m = np.full((B, plan.sizes[v]), semiring.one, dtype=np.float32)
+        for b, ev in enumerate(evidence_batch):
+            if label in ev:
+                m[b, :] = zero
+                m[b, int(ev[label])] = semiring.one
+        out[label] = m
+    return out
+
+
 def random_evidence_batch(
     plan: Plan,
     batch_size: int,

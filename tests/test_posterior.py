@@ -1,0 +1,108 @@
+"""Stabilized serving-path tests: posterior_batch with HMM-style message
+rescaling must match the log-space engine and the oracle, including on models
+whose partition function overflows/underflows plain float32 linear space."""
+
+import numpy as np
+import pytest
+
+import junctiontree_tpu as jt
+from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+from junctiontree_tpu.models import chain_bn_model, grid_mrf_model
+
+from .util import brute_force_marginals
+
+
+def test_posterior_batch_matches_oracle_small():
+    factors, sizes, values = grid_mrf_model(3, 3, seed=4)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    evs = random_evidence_batch(tree.plan, 5, ["g0_1", "g2_0"], seed=8)
+    masks = batch_masks_sparse(tree.plan, evs)
+    post, logz = eng.posterior_batch(masks)
+    var_list = list(sizes)
+    for b in range(5):
+        expect = brute_force_marginals(
+            factors, sizes, values, [[v] for v in var_list], evidence=evs[b]
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(logz)[b]), np.log(expect[0].sum()), rtol=1e-5
+        )
+        for i, v in enumerate(var_list):
+            vid = tree.plan.table.id_of(v)
+            np.testing.assert_allclose(
+                np.asarray(post[vid])[b],
+                expect[i] / expect[i].sum(),
+                rtol=1e-5,
+                atol=1e-7,
+            )
+
+
+def test_posterior_batch_stable_at_scale():
+    """10x10 grid: plain linear-space float32 Z overflows (observed NaN);
+    the rescaled path must agree with the log-sum-exp engine."""
+    factors, sizes, values = grid_mrf_model(10, 10, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+
+    eng = tree.engine().set_potentials(values)
+    evs = random_evidence_batch(tree.plan, 3, list(sizes)[:10], seed=2)
+    masks = batch_masks_sparse(tree.plan, evs)
+    post, logz = eng.posterior_batch(masks)
+    assert np.all(np.isfinite(np.asarray(logz)))
+    for m in post:
+        assert np.all(np.isfinite(np.asarray(m)))
+        np.testing.assert_allclose(np.asarray(m).sum(axis=-1), 1.0, rtol=1e-5)
+
+    engl = tree.engine("log_sum_exp").set_potentials(values)
+    masks_l = batch_masks_sparse(tree.plan, evs, engl.semiring)
+    post_l, logz_l = engl.posterior_batch(masks_l)
+    np.testing.assert_allclose(
+        np.asarray(logz), np.asarray(logz_l), rtol=1e-5
+    )
+    for a, b in zip(post, post_l):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
+
+
+def test_posterior_batch_long_chain_underflow():
+    """300-var chain BN: product of 300 CPD entries underflows float64 let
+    alone float32; rescaled linear path must stay finite and correct."""
+    factors, sizes, values = chain_bn_model(300, seed=1)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    evs = [{"x0": 1, "x299": 0}]
+    masks = batch_masks_sparse(tree.plan, evs)
+    post, logz = eng.posterior_batch(masks)
+    # logZ = log P(x0=1, x299=0): finite, negative, sane magnitude
+    lz = float(np.asarray(logz)[0])
+    assert np.isfinite(lz) and -50 < lz < 0
+    # posterior of observed var is the indicator
+    v0 = tree.plan.table.id_of("x0")
+    np.testing.assert_allclose(np.asarray(post[v0])[0], [0, 1], atol=1e-6)
+
+
+def test_posterior_batch_impossible_evidence():
+    factors, sizes, values = chain_bn_model(5, seed=0)
+    values[1] = np.array([[1.0, 0.0], [1.0, 0.0]])  # x1 never equals 1
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    masks = batch_masks_sparse(tree.plan, [{"x1": 1}])
+    post, logz = eng.posterior_batch(masks)
+    assert float(np.asarray(logz)[0]) == -np.inf
+
+
+def test_posterior_batch_max_product():
+    factors, sizes, values = grid_mrf_model(2, 3, seed=5)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    post, logz = eng.posterior_batch({})
+    # argmax of each var's max-marginal = MAP assignment component
+    from .util import brute_force_max_marginals
+
+    var_list = list(sizes)
+    expect = brute_force_max_marginals(
+        factors, sizes, values, [[v] for v in var_list]
+    )
+    for i, v in enumerate(var_list):
+        vid = tree.plan.table.id_of(v)
+        assert np.argmax(np.asarray(post[vid])[0]) == np.argmax(expect[i])
