@@ -93,6 +93,51 @@ def evaluate_cliques(
     return pots
 
 
+def evaluate_cliques_np(
+    plan: Plan,
+    factor_values: Sequence[np.ndarray],
+    semiring: Semiring = SUM_PRODUCT,
+    dtype=np.float32,
+) -> List[np.ndarray]:
+    """Host-side NumPy clique evaluation (same math as ``evaluate_cliques``).
+
+    Clique initialization is one-time, elementwise work; doing it in NumPy
+    avoids tracing/compiling an XLA op per clique — on a 10k-clique model
+    that is the difference between milliseconds and minutes of compile."""
+    if len(factor_values) != len(plan.factors):
+        raise ValueError(
+            "expected %d factor value arrays, got %d"
+            % (len(plan.factors), len(factor_values))
+        )
+    pots: List[np.ndarray] = []
+    for c in range(plan.tri.num_cliques):
+        pots.append(np.full(plan.clique_shape(c), semiring.one, dtype=dtype))
+    for f, (fvars, val) in enumerate(zip(plan.factors, factor_values)):
+        val = np.asarray(val, dtype=dtype)
+        want = plan.factor_shape(f)
+        if tuple(val.shape) != want:
+            raise ValueError(
+                "factor %d (vars %r) has shape %r, expected %r"
+                % (f, plan.table.labels_of(fvars), tuple(val.shape), want)
+            )
+        c = plan.tri.factor_to_maxclique[f]
+        if c < 0:
+            c = plan.tree.root
+            pots[c] = (pots[c] + val) if semiring.is_log else (pots[c] * val)
+            continue
+        cvars = plan.clique_vars[c]
+        pos = {v: i for i, v in enumerate(fvars)}
+        perm = [pos[v] for v in cvars if v in pos]
+        x = np.transpose(val, perm)
+        shape = [
+            (plan.sizes[v] if v in pos else 1) for v in cvars
+        ]
+        # np.transpose result axes follow clique order for covered vars
+        x = x.reshape(shape)
+        pots[c] = (pots[c] + x) if semiring.is_log else (pots[c] * x)
+    return pots
+
+
 def apply_masks(
     plan: Plan,
     clique_pots: Sequence[jnp.ndarray],
@@ -487,6 +532,16 @@ class Engine:
         )
         # batch-aware programs, cached per observed-variable set
         self._batched_cache: Dict[tuple, "jax.stages.Wrapped"] = {}
+        self._chain: Optional[tuple] = None  # lazy ChainLayout cache
+        self._chain_A = None                 # prestacked chain transitions
+        self._pots_np: Optional[List[np.ndarray]] = None
+
+    def _chain_layout(self):
+        if self._chain is None:
+            from .scan_executor import ChainLayout
+
+            self._chain = (ChainLayout.detect(self.plan),)
+        return self._chain[0]
 
     # -- reference-parity path: values in, unnormalized factor marginals out --
     def propagate(self, values: Sequence[np.ndarray]) -> List[np.ndarray]:
@@ -498,12 +553,18 @@ class Engine:
         return [np.asarray(self.semiring.to_linear(x)) for x in out]
 
     # -- fast path: precompute potentials once, then mask-only queries --
-    def set_potentials(self, values: Sequence[np.ndarray]) -> "Engine":
-        vals = [
-            self.semiring.from_linear(jnp.asarray(v))
-            for v in values
-        ]
-        self._pots = jax.block_until_ready(self._evaluate_jit(vals))
+    def set_potentials(
+        self, values: Sequence[np.ndarray], dtype=np.float64
+    ) -> "Engine":
+        vals = [np.asarray(v, dtype=np.float64) for v in values]
+        if self.semiring.is_log:
+            with np.errstate(divide="ignore"):
+                vals = [np.log(v) for v in vals]
+        pots = evaluate_cliques_np(self.plan, vals, self.semiring, dtype=dtype)
+        # device_put canonicalizes float64 -> float32 unless jax_enable_x64
+        self._pots_np = pots
+        self._pots = [jax.device_put(p) for p in pots]
+        self._chain_A = None
         return self
 
     def _require_pots(self):
@@ -590,6 +651,38 @@ class Engine:
         key = ("posterior", ids)
         fn = self._batched_cache.get(key)
         if fn is None:
+            if (
+                sr.name == "sum_product"
+                and self._chain_layout()
+                and self._pots_np is not None
+            ):
+                # chain-structured tree: O(1)-compile lax.scan forward-backward
+                from .scan_executor import (
+                    StackedPosteriors,
+                    chain_posterior_program,
+                    stack_chain_potentials,
+                )
+
+                layout = self._chain_layout()
+                if self._chain_A is None:
+                    self._chain_A = jax.device_put(
+                        stack_chain_potentials(layout, self._pots_np)
+                    )
+                prog = chain_posterior_program(self.plan, layout)
+                id_list = list(ids)
+                jfn = jax.jit(
+                    lambda A, ms: prog(A, dict(zip(id_list, ms)))
+                )
+                A_holder = self
+
+                def posterior_fn(pots, masks, _jfn=jfn, _lay=layout):
+                    stacked, logz = _jfn(A_holder._chain_A, masks)
+                    return StackedPosteriors(stacked, _lay.var_order), logz
+
+                fn = posterior_fn
+                self._batched_cache[key] = fn
+                return fn(pots, masks)
+
             if sr.name == "sum_product":
                 prog = batched_propagate_program(
                     self.plan, sr, list(ids), rescale=True

@@ -1,0 +1,218 @@
+"""lax.scan chain executor: O(1)-size XLA programs for chain-structured trees.
+
+The unrolled static schedule (executor.py) compiles one contraction per
+clique — ~33ms of XLA compile per clique measured, which is fine for
+hundreds of cliques but not for UAI-scale chains (SURVEY.md §5 long-context
+row: the reference recurses in Python per clique, computation.py:59-66, and
+would hit the recursion limit past ~1000 cliques).
+
+A chain junction tree with uniform cardinality K is exactly a batched HMM:
+collect = forward scan of masked matvecs, distribute = backward scan, with
+HMM-style per-step rescaling so everything stays in float32 linear space
+(MXU matmuls [B,K]x[K,K]).  jit cost is constant in chain length.
+
+  F_0 = 1;  F_{k+1}[b,q] = sum_p F_k[b,p] * M_k[b,p] * pot_k[p,q]
+  G_m = 1;  G_k[b,p]     = sum_q pot_k[p,q] * M_{k+1}[b,q] * G_{k+1}[b,q]
+  posterior(v_k) ∝ F_k ⊙ M_k ⊙ G_k;   logZ = log Σ_p F_m M_m + offsets
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import Plan
+
+_TINY = 1e-38
+
+
+@dataclass(frozen=True)
+class ChainLayout:
+    """A junction tree recognized as a uniform chain.
+
+    var_order: v_0..v_m (chain order, interned ids)
+    clique_order: c_0..c_{m-1}; clique k covers (v_k, v_{k+1})
+    transpose: per clique, True if its potential (axes in sorted-var order)
+               must be transposed to get (v_k, v_{k+1}) layout
+    card: the common cardinality K
+    """
+
+    var_order: List[int]
+    clique_order: List[int]
+    transpose: List[bool]
+    card: int
+
+    @staticmethod
+    def detect(plan: Plan) -> Optional["ChainLayout"]:
+        tree = plan.tree
+        n = tree.num_cliques
+        if n < 2:
+            return None
+        # every clique exactly 2 vars, every separator exactly 1 var
+        if any(len(c) != 2 for c in plan.clique_vars):
+            return None
+        if any(len(s) != 1 for s in tree.separators):
+            return None
+        # path topology: degree <= 2, exactly two endpoints
+        deg = [0] * n
+        adj: List[List[int]] = [[] for _ in range(n)]
+        for a, b, _ in tree.edges:
+            deg[a] += 1
+            deg[b] += 1
+            adj[a].append(b)
+            adj[b].append(a)
+        ends = [i for i in range(n) if deg[i] == 1]
+        if len(ends) != 2 or any(d > 2 for d in deg):
+            return None
+        # uniform cardinality
+        cards = {plan.sizes[v] for c in plan.clique_vars for v in c}
+        if len(cards) != 1:
+            return None
+        card = cards.pop()
+        # walk the path
+        order = [ends[0]]
+        prev = -1
+        while len(order) < n:
+            cur = order[-1]
+            nxt = [x for x in adj[cur] if x != prev]
+            if len(nxt) != 1:
+                return None
+            prev = cur
+            order.append(nxt[0])
+        # recover the var chain: v_0 is the var of c_0 not shared with c_1
+        var_order: List[int] = []
+        transpose: List[bool] = []
+        first = set(plan.clique_vars[order[0]])
+        shared01 = first & set(plan.clique_vars[order[1]])
+        if len(shared01) != 1:
+            return None
+        v0 = (first - shared01).pop()
+        var_order.append(v0)
+        cur_var = v0
+        for k, c in enumerate(order):
+            cv = plan.clique_vars[c]
+            if cur_var not in cv:
+                return None
+            nxt_var = cv[1] if cv[0] == cur_var else cv[0]
+            transpose.append(cv[0] != cur_var)
+            var_order.append(nxt_var)
+            cur_var = nxt_var
+        # chain must cover every variable exactly once
+        if sorted(var_order) != list(range(plan.num_vars)):
+            return None
+        return ChainLayout(var_order, order, transpose, card)
+
+
+def stack_chain_potentials(
+    layout: ChainLayout, pots_np: Sequence[np.ndarray]
+) -> np.ndarray:
+    """Host-side prestack of clique potentials into the [m, K, K] transition
+    tensor (done once per model; keeps the jitted program free of a
+    chain-length concatenate)."""
+    return np.stack(
+        [
+            np.transpose(pots_np[c]) if layout.transpose[k] else pots_np[c]
+            for k, c in enumerate(layout.clique_order)
+        ]
+    )
+
+
+def chain_posterior_program(plan: Plan, layout: ChainLayout):
+    """Build ``fn(A, masks) -> (posteriors per var id [B,K], logZ [B])``.
+
+    ``A``: prestacked [m, K, K] transitions (``stack_chain_potentials``),
+    linear space.  ``masks``: dict var_id -> [B, K] linear-space mask
+    (observed vars only)."""
+    m = len(layout.clique_order)
+    K = layout.card
+
+    def fn(A: jnp.ndarray, masks: Dict[int, jnp.ndarray]):
+        B = next(iter(masks.values())).shape[0] if masks else 1
+        dtype = A.dtype
+        # stacked masks [m+1, B, K]: ones everywhere, scatter the (few)
+        # observed variables — O(observed) traced ops, not O(chain length)
+        chain_pos = {v: k for k, v in enumerate(layout.var_order)}
+        M = jnp.ones((m + 1, B, K), dtype=dtype)
+        for v, mk in masks.items():
+            M = M.at[chain_pos[v]].set(jnp.asarray(mk, dtype=dtype))
+
+        def fwd_step(carry, inp):
+            F, off = carry
+            a, mk = inp
+            Fn = jnp.einsum(
+                "bp,pq->bq", F * mk, a, precision="highest"
+            )
+            s = jnp.maximum(jnp.max(Fn, axis=-1, keepdims=True), _TINY)
+            return (Fn / s, off + jnp.log(s[:, 0])), F
+
+        (F_last, off_last), F_stack = jax.lax.scan(
+            fwd_step,
+            (jnp.ones((B, K), dtype=dtype), jnp.zeros((B,), dtype=dtype)),
+            (A, M[:-1]),
+        )
+
+        def bwd_step(carry, inp):
+            G = carry
+            a, mk1 = inp
+            Gp = jnp.einsum(
+                "pq,bq->bp", a, mk1 * G, precision="highest"
+            )
+            s = jnp.maximum(jnp.max(Gp, axis=-1, keepdims=True), _TINY)
+            return Gp / s, G
+
+        G_last, G_stack_rev = jax.lax.scan(
+            bwd_step,
+            jnp.ones((B, K), dtype=dtype),
+            (A, M[1:]),
+            reverse=True,
+        )
+        # G_stack_rev[k] = G_{k+1}; prepend G_0 = G_last
+        G_all = jnp.concatenate([G_last[None], G_stack_rev], axis=0)
+        F_all = jnp.concatenate([F_stack, F_last[None]], axis=0)
+
+        # posteriors per chain position, normalized (scales cancel)
+        post = F_all * M * G_all  # [m+1, B, K]
+        post = post / jnp.maximum(
+            jnp.sum(post, axis=-1, keepdims=True), _TINY
+        )
+
+        # logZ from the forward pass
+        zfin = jnp.sum(F_last * M[-1], axis=-1)
+        logz = (
+            jnp.where(zfin > 0, jnp.log(jnp.maximum(zfin, _TINY)), -jnp.inf)
+            + off_last
+        )
+
+        # [m+1, B, K] stacked in chain order; caller maps var id -> position
+        return post, logz
+
+    return fn
+
+
+class StackedPosteriors:
+    """Lazy per-variable-id view over the chain program's stacked [m+1, B, K]
+    posterior tensor.  Behaves like the list-of-arrays the general program
+    returns (``post[var_id]`` -> [B, K]) without materializing one device
+    slice per variable inside the compiled program."""
+
+    def __init__(self, stacked: jnp.ndarray, var_order: Sequence[int]):
+        self._stacked = stacked
+        self._pos = {v: k for k, v in enumerate(var_order)}
+
+    @property
+    def stacked(self) -> jnp.ndarray:
+        return self._stacked
+
+    def __len__(self) -> int:
+        return len(self._pos)
+
+    def __getitem__(self, var_id: int) -> jnp.ndarray:
+        return self._stacked[self._pos[var_id]]
+
+    def __iter__(self):
+        for v in range(len(self._pos)):
+            yield self[v]

@@ -1,0 +1,104 @@
+"""Chain (scan/forward-backward) executor tests: detection, parity with the
+general program, long-chain compile behavior."""
+
+import time
+
+import numpy as np
+import pytest
+
+import junctiontree_tpu as jt
+from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+from junctiontree_tpu.models import chain_bn_model, grid_mrf_model
+from junctiontree_tpu.scan_executor import ChainLayout
+from junctiontree_tpu.schedule import compile_plan
+
+from .util import brute_force_marginals, chain_bn, random_values
+
+
+def test_detect_chain():
+    plan = compile_plan(*chain_bn(10))
+    layout = ChainLayout.detect(plan)
+    assert layout is not None
+    assert len(layout.clique_order) == 9
+    assert len(layout.var_order) == 10
+    assert layout.card == 2
+
+
+def test_detect_rejects_non_chains():
+    assert ChainLayout.detect(compile_plan(*chain_bn(10, card=3))) is not None
+    # grid: not a chain
+    factors, sizes, _ = grid_mrf_model(3, 3)
+    assert ChainLayout.detect(compile_plan(factors, sizes)) is None
+    # star with hub card != leaf card: cliques 2-var but tree is a star
+    factors = [["h", f"l{i}"] for i in range(4)]
+    sizes = {"h": 2, **{f"l{i}": 2 for i in range(4)}}
+    assert ChainLayout.detect(compile_plan(factors, sizes)) is None
+    # mixed cardinalities on a chain
+    factors = [["a", "b"], ["b", "c"]]
+    assert ChainLayout.detect(compile_plan(factors, {"a": 2, "b": 3, "c": 2})) is None
+    # single clique
+    assert ChainLayout.detect(compile_plan([["a", "b"]], {"a": 2, "b": 2})) is None
+
+
+@pytest.mark.parametrize("n,card", [(5, 2), (20, 3), (40, 4)])
+def test_chain_posterior_matches_oracle(n, card):
+    factors, sizes, values = chain_bn_model(n, card=card, seed=n)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    assert eng._chain_layout() is not None  # chain path engaged
+    evs = random_evidence_batch(
+        tree.plan, 4, [f"x{n//2}", f"x{n-1}"], seed=n
+    )
+    masks = batch_masks_sparse(tree.plan, evs)
+    post, logz = eng.posterior_batch(masks)
+    var_list = list(sizes)
+    for b in (0, 3):
+        expect = brute_force_marginals(
+            factors, sizes, values, [[v] for v in var_list], evidence=evs[b]
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(logz)[b]), np.log(expect[0].sum()), rtol=1e-5
+        )
+        for i, v in enumerate(var_list):
+            vid = tree.plan.table.id_of(v)
+            np.testing.assert_allclose(
+                np.asarray(post[vid])[b],
+                expect[i] / expect[i].sum(),
+                rtol=1e-5,
+                atol=1e-7,
+            )
+
+
+def test_chain_no_evidence():
+    factors, sizes, values = chain_bn_model(12, seed=3)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    post, logz = eng.posterior_batch({})
+    # proper BN: logZ == 0
+    np.testing.assert_allclose(np.asarray(logz), 0.0, atol=1e-5)
+    expect = brute_force_marginals(
+        factors, sizes, values, [[v] for v in sizes]
+    )
+    for i, v in enumerate(sizes):
+        vid = tree.plan.table.id_of(v)
+        np.testing.assert_allclose(
+            np.asarray(post[vid])[0], expect[i] / expect[i].sum(), rtol=1e-5
+        )
+
+
+def test_long_chain_compile_is_flat():
+    """Scan program compile time must not grow linearly with chain length."""
+    times = {}
+    for n in (200, 800):
+        factors, sizes, values = chain_bn_model(n, seed=1)
+        tree = jt.create_junction_tree(factors, sizes)
+        eng = tree.engine().set_potentials(values)
+        masks = batch_masks_sparse(
+            tree.plan, [{f"x{n-1}": 0}] * 4
+        )
+        t0 = time.perf_counter()
+        post, logz = eng.posterior_batch(masks)
+        times[n] = time.perf_counter() - t0
+        assert np.all(np.isfinite(np.asarray(logz)))
+    # 4x the cliques must not cost anywhere near 4x the compile
+    assert times[800] < 3 * times[200] + 1.0, times
