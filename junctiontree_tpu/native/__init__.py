@@ -1,0 +1,167 @@
+"""Native (C++) host compiler bindings.
+
+Loads ``libjtcompile.so`` via ctypes; if absent, builds it from the bundled
+source with g++ on first use (cached next to the source).  Falls back to the
+pure-Python compiler transparently when no toolchain is available — the
+native path is a drop-in accelerator for the compile phase, not a
+requirement."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "jt_compile.cpp")
+_SO = os.path.join(_HERE, "libjtcompile.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+class _JtResult(ctypes.Structure):
+    _fields_ = [
+        ("num_cliques", ctypes.c_int32),
+        ("clique_offsets", ctypes.POINTER(ctypes.c_int32)),
+        ("clique_vars", ctypes.POINTER(ctypes.c_int32)),
+        ("factor_to_clique", ctypes.POINTER(ctypes.c_int32)),
+        ("elim_order", ctypes.POINTER(ctypes.c_int32)),
+        ("num_fill_edges", ctypes.c_int32),
+        ("fill_edges", ctypes.POINTER(ctypes.c_int32)),
+        ("treewidth", ctypes.c_int32),
+        ("num_seps", ctypes.c_int32),
+        ("sep_offsets", ctypes.POINTER(ctypes.c_int32)),
+        ("sep_vars", ctypes.POINTER(ctypes.c_int32)),
+        ("edges", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_SO) and not _build():
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.jt_compile.restype = ctypes.POINTER(_JtResult)
+            lib.jt_compile.argtypes = [
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.jt_free_result.restype = None
+            lib.jt_free_result.argtypes = [ctypes.POINTER(_JtResult)]
+            _lib = lib
+        except OSError:
+            _lib_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def native_compile(
+    int_factors: Sequence[Sequence[int]], int_sizes: Sequence[int]
+) -> Optional[dict]:
+    """Run the native compiler.  Returns a dict of plain-Python structures
+    (same content as the Python triangulate+treebuild path) or None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    num_vars = len(int_sizes)
+    sizes_arr = np.asarray(int_sizes, dtype=np.int64)
+    offsets = np.zeros(len(int_factors) + 1, dtype=np.int32)
+    for i, f in enumerate(int_factors):
+        offsets[i + 1] = offsets[i] + len(f)
+    flat = np.asarray(
+        [v for f in int_factors for v in f] or [0], dtype=np.int32
+    )
+    res = lib.jt_compile(
+        num_vars,
+        sizes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(int_factors),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if not res:
+        return None
+    try:
+        r = res.contents
+        n = r.num_cliques
+        co = np.ctypeslib.as_array(r.clique_offsets, shape=(n + 1,))
+        cv = np.ctypeslib.as_array(r.clique_vars, shape=(max(int(co[n]), 1),))
+        maxcliques = [
+            [int(x) for x in cv[co[c]:co[c + 1]]] for c in range(n)
+        ]
+        f2c = [
+            int(x)
+            for x in np.ctypeslib.as_array(
+                r.factor_to_clique, shape=(max(len(int_factors), 1),)
+            )[: len(int_factors)]
+        ]
+        elim = [
+            int(x)
+            for x in np.ctypeslib.as_array(
+                r.elim_order, shape=(max(num_vars, 1),)
+            )[:num_vars]
+        ]
+        nf = int(r.num_fill_edges)
+        fe_arr = np.ctypeslib.as_array(
+            r.fill_edges, shape=(max(2 * nf, 1),)
+        )
+        fill_edges = [
+            (int(fe_arr[2 * i]), int(fe_arr[2 * i + 1])) for i in range(nf)
+        ]
+        ns = int(r.num_seps)
+        so = np.ctypeslib.as_array(r.sep_offsets, shape=(ns + 1,))
+        sv = np.ctypeslib.as_array(
+            r.sep_vars, shape=(max(int(so[ns]), 1),)
+        )
+        separators = [
+            [int(x) for x in sv[so[s]:so[s + 1]]] for s in range(ns)
+        ]
+        ed = np.ctypeslib.as_array(r.edges, shape=(max(3 * ns, 1),))
+        edges = [
+            (int(ed[3 * i]), int(ed[3 * i + 1]), int(ed[3 * i + 2]))
+            for i in range(ns)
+        ]
+        return {
+            "maxcliques": maxcliques,
+            "factor_to_maxclique": f2c,
+            "elimination_order": elim,
+            "fill_edges": fill_edges,
+            "treewidth": int(r.treewidth),
+            "separators": separators,
+            "edges": edges,
+        }
+    finally:
+        lib.jt_free_result(res)

@@ -172,18 +172,52 @@ def compile_plan(
     factors: Sequence[Sequence[Hashable]],
     sizes: Dict[Hashable, int],
     root: Optional[int] = None,
+    backend: str = "auto",
 ) -> Plan:
     """Full compile path: intern -> triangulate -> junction tree -> plan.
 
     Mirrors the reference stack ``create_junction_tree`` -> ``triangulate`` ->
-    ``create_junction_tree`` (SURVEY.md §3.1) in one host-side call."""
+    ``create_junction_tree`` (SURVEY.md §3.1) in one host-side call.
+
+    backend: "auto" uses the native C++ compiler (junctiontree_tpu/native)
+    when it is available and the model is large enough to matter, falling
+    back to pure Python; "native" / "python" force a path."""
     table, int_factors, int_sizes = intern_factors(factors, sizes)
     if not int_factors:
         raise ValueError("need at least one factor")
-    tri = min_fill_triangulation(int_factors, int_sizes)
     if root is None:
         root = 0
-    tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
+
+    tri = None
+    tree = None
+    use_native = backend == "native" or (
+        backend == "auto" and len(int_sizes) >= 512
+    )
+    if use_native:
+        from . import native
+
+        nat = native.native_compile(int_factors, int_sizes)
+        if nat is None:
+            if backend == "native":
+                raise RuntimeError(
+                    "native compiler requested but unavailable (no g++?)"
+                )
+        else:
+            from .treebuild import build_junction_tree_from_edges
+
+            tri = Triangulation(
+                maxcliques=nat["maxcliques"],
+                factor_to_maxclique=nat["factor_to_maxclique"],
+                elimination_order=nat["elimination_order"],
+                fill_edges=nat["fill_edges"],
+                treewidth=nat["treewidth"],
+            )
+            tree = build_junction_tree_from_edges(
+                len(nat["maxcliques"]), nat["separators"], nat["edges"], root
+            )
+    if tri is None:
+        tri = min_fill_triangulation(int_factors, int_sizes)
+        tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
 
     # evidence landing site: smallest clique containing each var
     var_to_clique = [-1] * len(int_sizes)

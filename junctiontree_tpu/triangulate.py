@@ -82,23 +82,40 @@ def min_fill_triangulation(
 ) -> Triangulation:
     """Eliminate all variables by (fill, weight, id)-min order, collecting
     maximal cliques and the chordalizing fill edges."""
+    import heapq
+
     num_vars = len(sizes)
     adj = build_adjacency(factors, num_vars)
     remaining: Set[int] = set(range(num_vars))
 
-    # initial scores for every variable
-    scores: Dict[int, Tuple[int, int]] = {
-        v: (_fill_count(adj, v), _weight(adj, sizes, v)) for v in remaining
-    }
+    # lazy-invalidation heap over (fill, weight, id): stale entries are
+    # skipped on pop via a per-var version counter — O(E log V) overall vs
+    # the reference's full heap rebuild per elimination step
+    # (construction.py:166-172) and vs an O(V) min-scan per step.
+    version: List[int] = [0] * num_vars
+    heap: List[Tuple[int, int, int, int]] = []
+    for v in remaining:
+        heap.append((_fill_count(adj, v), _weight(adj, sizes, v), v, 0))
+    heapq.heapify(heap)
+
+    def rescore(v: int) -> None:
+        version[v] += 1
+        heapq.heappush(
+            heap, (_fill_count(adj, v), _weight(adj, sizes, v), v, version[v])
+        )
 
     maxcliques: List[List[int]] = []
     clique_sets: List[Set[int]] = []
+    var_in_cliques: List[List[int]] = [[] for _ in range(num_vars)]
     elim_order: List[int] = []
     fill_edges: List[Tuple[int, int]] = []
 
     while remaining:
-        # pick min (fill, weight, id)
-        best = min(remaining, key=lambda v: (scores[v][0], scores[v][1], v))
+        # pick min (fill, weight, id), skipping stale heap entries
+        while True:
+            fill, weight, best, ver = heapq.heappop(heap)
+            if best in remaining and ver == version[best]:
+                break
         elim_order.append(best)
 
         nbrs = [u for u in adj[best] if u in remaining]
@@ -120,16 +137,19 @@ def min_fill_triangulation(
         for u in nbrs:
             adj[u].discard(best)
         remaining.discard(best)
-        scores.pop(best, None)
 
-        # record the cluster as a maxclique unless contained in an existing one
-        # (reference find_maxclique, construction.py:260-272)
-        for cs in clique_sets:
-            if cluster <= cs:
+        # record the cluster as a maxclique unless contained in an existing
+        # one (reference find_maxclique, construction.py:260-272); only
+        # cliques containing `best` can contain the cluster
+        for ci in var_in_cliques[best]:
+            if cluster <= clique_sets[ci]:
                 break
         else:
+            ci_new = len(clique_sets)
             clique_sets.append(cluster)
             maxcliques.append(sorted(cluster))
+            for v in cluster:
+                var_in_cliques[v].append(ci_new)
 
         # rescore: any var whose neighborhood changed (neighbors of best, and
         # endpoints of new fill edges affect their neighbors' fill counts)
@@ -138,7 +158,7 @@ def min_fill_triangulation(
             to_rescore.update(x for x in adj[u] if x in remaining)
         for v in to_rescore:
             if v in remaining:
-                scores[v] = (_fill_count(adj, v), _weight(adj, sizes, v))
+                rescore(v)
 
     # assign each factor to its smallest-weight containing maxclique;
     # empty-scope (scalar) factors get -1 and are folded in as global scale
@@ -157,8 +177,9 @@ def min_fill_triangulation(
         fset = set(f)
         best_ci = -1
         best_w = None
-        for ci, cs in enumerate(clique_sets):
-            if fset <= cs:
+        # only cliques containing f's first variable can contain f
+        for ci in var_in_cliques[f[0]]:
+            if fset <= clique_sets[ci]:
                 if best_w is None or clique_weights[ci] < best_w:
                     best_ci, best_w = ci, clique_weights[ci]
         if best_ci < 0:
