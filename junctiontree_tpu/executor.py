@@ -358,6 +358,57 @@ def _bcontract(semiring, operands, operand_vars, out_vars):
     return semiring.contract(operands, operand_vars, out), batched
 
 
+def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
+    """Route a collect/marginal contraction through the Pallas factored-mask
+    kernel when the clique is large enough and every batched operand is a
+    single-variable mask (evidence).  Returns the [B, ...] result or None."""
+    if semiring.name != "sum_product":
+        return None
+    from .ops.pallas_contract import _kernel_flags, big_clique_sep_message
+
+    use, interp = _kernel_flags()
+    if not use:
+        return None
+    batched: List[tuple] = []
+    unbatched: List[tuple] = []
+    for o, v in zip(ops, ovs):
+        if v and v[0] == BATCH:
+            if len(v) != 2:
+                return None  # batched multi-var operand (message) — no route
+            batched.append((o, v[1]))
+        else:
+            unbatched.append((o, list(v)))
+    if not batched or not unbatched:
+        return None
+    scope: List[int] = []
+    for _, v in unbatched:
+        for x in v:
+            if x not in scope:
+                scope.append(x)
+    if any(x not in scope for x in out_vars):
+        return None
+    if any(x not in scope for _, x in batched):
+        return None
+    states = 1
+    for x in scope:
+        states *= plan.sizes[x]
+    if states < min_states:
+        return None
+    pot = (
+        unbatched[0][0]
+        if len(unbatched) == 1 and unbatched[0][1] == scope
+        else semiring.contract(
+            [o for o, _ in unbatched], [v for _, v in unbatched], scope
+        )
+    )
+    masks: Dict[int, jnp.ndarray] = {}
+    for o, x in batched:
+        masks[x] = o if x not in masks else masks[x] * o
+    return big_clique_sep_message(
+        pot, scope, masks, list(out_vars), interpret=interp
+    )
+
+
 def batched_propagate_program(
     plan: Plan,
     semiring: Semiring = SUM_PRODUCT,
@@ -396,9 +447,21 @@ def batched_propagate_program(
 
     _TINY = 1e-38
 
+    from .config import DEFAULT as _CFG
+
+    min_states = _CFG.pallas_min_states
+
     def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
         B = jnp.shape(masks[0])[0] if masks else 1
         logoff = jnp.zeros(())  # collect-pass rescaling offsets (-> logZ)
+
+        def contract(ops, ovs, outv):
+            routed = _try_big_clique_route(
+                plan, semiring, ops, ovs, outv, min_states
+            )
+            if routed is not None:
+                return routed, True
+            return _bcontract(semiring, ops, ovs, outv)
 
         def clique_ops(c):
             ops = [pots[c]]
@@ -429,9 +492,7 @@ def batched_propagate_program(
             for k, s in tree.children[c]:
                 ops.append(up[k])
                 ovs.append(upv[k])
-            out, b = _bcontract(
-                semiring, ops, ovs, svars[tree.parent_sep[c]]
-            )
+            out, b = contract(ops, ovs, svars[tree.parent_sep[c]])
             if rescale:
                 out = rescale_msg(out, b, track=True)
             up[c] = out
@@ -455,7 +516,7 @@ def batched_propagate_program(
                     if j != i:
                         ops.append(up[k2])
                         ovs.append(upv[k2])
-                out, b = _bcontract(semiring, ops, ovs, svars[s])
+                out, b = contract(ops, ovs, svars[s])
                 if rescale:
                     out = rescale_msg(out, b, track=False)
                 down[k] = out
@@ -476,13 +537,13 @@ def batched_propagate_program(
         for v in range(plan.num_vars):
             c = plan.var_to_clique[v]
             ops, ovs = node_ops(c)
-            out, b = _bcontract(semiring, ops, ovs, [v])
+            out, b = contract(ops, ovs, [v])
             if not b:
                 out = jnp.broadcast_to(out[None, :], (B, out.shape[0]))
             margs.append(out)
 
         rops, rovs = node_ops(tree.root)
-        z, b = _bcontract(semiring, rops, rovs, [])
+        z, b = contract(rops, rovs, [])
         if not b:
             z = jnp.broadcast_to(z[None], (B,)) if z.ndim == 0 else z
         if rescale:

@@ -1,0 +1,98 @@
+"""Pallas big-clique kernel tests (interpret mode on CPU; the real-TPU run
+is exercised by bench/TPU sessions)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from junctiontree_tpu.ops.pallas_contract import (
+    big_clique_sep_message,
+    build_weight_groups,
+    factored_masked_contract,
+    reference_factored_contract,
+)
+
+
+@pytest.mark.parametrize(
+    "R1,R2,C,B", [(4, 8, 3, 5), (8, 128, 128, 256), (3, 50, 17, 33)]
+)
+def test_kernel_matches_reference(R1, R2, C, B):
+    rng = np.random.default_rng(R1 + R2 + C + B)
+    pot = jnp.asarray(rng.random((R1, R2, C)), dtype=jnp.float32)
+    w1 = jnp.asarray(rng.random((B, R1)), dtype=jnp.float32)
+    w2 = jnp.asarray(rng.random((B, R2)), dtype=jnp.float32)
+    got = factored_masked_contract(pot, w1, w2, interpret=True)
+    want = reference_factored_contract(pot, w1, w2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_build_weight_groups_balanced():
+    rng = np.random.default_rng(0)
+    masks = [jnp.asarray(rng.random((7, k)), dtype=jnp.float32) for k in (2, 3, 4, 2, 5)]
+    w1, w2, g1, g2 = build_weight_groups(masks)
+    assert sorted(g1 + g2) == list(range(5))
+    # outer products reconstruct the joint product
+    R1, R2 = w1.shape[1], w2.shape[1]
+    assert R1 * R2 == 2 * 3 * 4 * 2 * 5
+    # check one entry: joint weight at index (0,...,0) is prod of masks[.,0]
+    np.testing.assert_allclose(
+        float(w1[0, 0] * w2[0, 0]),
+        float(np.prod([np.asarray(m)[0, 0] for m in masks])),
+        rtol=1e-6,
+    )
+
+
+def test_big_clique_sep_message_matches_einsum():
+    """End-to-end: wide clique, some observed rest vars, some observed sep
+    vars, some unobserved — against a direct einsum oracle."""
+    rng = np.random.default_rng(3)
+    cvars = [10, 11, 12, 13, 14]            # var ids
+    sizes = {10: 2, 11: 3, 12: 2, 13: 4, 14: 3}
+    svars = [13, 14]
+    B = 9
+    pot = jnp.asarray(
+        rng.random(tuple(sizes[v] for v in cvars)), dtype=jnp.float32
+    )
+    masks = {
+        10: jnp.asarray(rng.random((B, 2)), dtype=jnp.float32),
+        12: jnp.asarray(rng.random((B, 2)), dtype=jnp.float32),
+        14: jnp.asarray(rng.random((B, 3)), dtype=jnp.float32),
+    }
+    got = big_clique_sep_message(
+        pot, cvars, masks, svars, interpret=True
+    )
+    want = jnp.einsum(
+        "abcde,xa,xc,xe->xde",
+        pot, masks[10], masks[12], masks[14],
+        precision="highest",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_big_clique_sep_message_no_rest_masks():
+    rng = np.random.default_rng(5)
+    cvars = [0, 1, 2]
+    pot = jnp.asarray(rng.random((2, 3, 4)), dtype=jnp.float32)
+    masks = {2: jnp.asarray(rng.random((6, 4)), dtype=jnp.float32)}
+    got = big_clique_sep_message(pot, cvars, masks, [2], interpret=True)
+    want = jnp.einsum("abc,xc->xc", pot, masks[2], precision="highest")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_xla_fallback_matches():
+    rng = np.random.default_rng(7)
+    cvars = [0, 1, 2, 3]
+    pot = jnp.asarray(rng.random((2, 3, 4, 2)), dtype=jnp.float32)
+    masks = {
+        0: jnp.asarray(rng.random((5, 2)), dtype=jnp.float32),
+        1: jnp.asarray(rng.random((5, 3)), dtype=jnp.float32),
+    }
+    a = big_clique_sep_message(pot, cvars, masks, [3], interpret=True)
+    b = big_clique_sep_message(pot, cvars, masks, [3], use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
