@@ -1,0 +1,78 @@
+"""MAP-assignment decoding tests against exhaustive enumeration."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import junctiontree_tpu as jt
+
+from .util import chain_bn, grid_mrf, random_factor_graph, random_values
+
+
+def exhaustive_map(factors, sizes, values, evidence=None):
+    var_list = list(sizes)
+    best, best_score = None, -np.inf
+    for states in itertools.product(*(range(sizes[v]) for v in var_list)):
+        a = dict(zip(var_list, states))
+        if evidence and any(a[k] != v for k, v in evidence.items()):
+            continue
+        score = 0.0
+        ok = True
+        for f, val in zip(factors, values):
+            x = float(np.asarray(val)[tuple(a[v] for v in f)])
+            if x <= 0:
+                ok = False
+                break
+            score += np.log(x)
+        if ok and score > best_score:
+            best, best_score = a, score
+    return best, best_score
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_map_matches_exhaustive(seed):
+    factors, sizes = random_factor_graph(seed + 200, n_vars=6, n_factors=8, max_card=3)
+    values = random_values(factors, sizes, seed=seed)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    got, got_score = eng.map_assignment()
+    want, want_score = exhaustive_map(factors, sizes, values)
+    np.testing.assert_allclose(got_score, want_score, rtol=1e-5)
+    # score equality implies an optimal assignment even when argmaxes differ
+
+
+def test_map_with_evidence():
+    factors, sizes = grid_mrf(2, 3)
+    values = random_values(factors, sizes, seed=9)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    ev = {"g0_0": 1, "g1_2": 0}
+    got, got_score = eng.map_assignment(ev)
+    assert got["g0_0"] == 1 and got["g1_2"] == 0
+    want, want_score = exhaustive_map(factors, sizes, values, evidence=ev)
+    np.testing.assert_allclose(got_score, want_score, rtol=1e-5)
+
+
+def test_map_with_ties():
+    """All-equal potentials: every assignment ties; decoding must still
+    return a consistent assignment attaining the max score."""
+    factors, sizes = chain_bn(4)
+    values = [np.ones(tuple(sizes[v] for v in f)) for f in factors]
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    got, score = eng.map_assignment()
+    np.testing.assert_allclose(score, 0.0, atol=1e-6)
+    assert set(got) == set(sizes)
+
+
+def test_map_from_sum_product_engine():
+    """Calling map_assignment on a sum-product engine builds the max-product
+    sibling transparently."""
+    factors, sizes = chain_bn(5)
+    values = random_values(factors, sizes, seed=3)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    got, score = eng.map_assignment()
+    want, want_score = exhaustive_map(factors, sizes, values)
+    np.testing.assert_allclose(score, want_score, rtol=1e-5)

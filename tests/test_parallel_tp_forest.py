@@ -1,0 +1,88 @@
+"""TP (clique-axis sharding) and forest (EP) parallelism tests on the
+8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import junctiontree_tpu as jt
+from junctiontree_tpu.models import grid_mrf_model
+from junctiontree_tpu.ops.pallas_contract import reference_factored_contract
+from junctiontree_tpu.parallel.forest import ForestEngine, split_components
+from junctiontree_tpu.parallel.mesh import make_mesh
+from junctiontree_tpu.parallel.tp import sharded_factored_contract
+
+from .util import brute_force_marginals, random_values
+
+
+def test_sharded_factored_contract_matches_local():
+    rng = np.random.default_rng(4)
+    R1, R2, C, B = 32, 64, 16, 16
+    pot = jnp.asarray(rng.random((R1, R2, C)), dtype=jnp.float32)
+    w1 = jnp.asarray(rng.random((B, R1)), dtype=jnp.float32)
+    w2 = jnp.asarray(rng.random((B, R2)), dtype=jnp.float32)
+
+    want = np.asarray(reference_factored_contract(pot, w1, w2))
+    for n_batch, n_model in [(4, 2), (2, 4), (1, 8)]:
+        mesh = make_mesh(n_batch=n_batch, n_model=n_model)
+        got = np.asarray(sharded_factored_contract(mesh, pot, w1, w2))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_factored_contract_unsharded_batch():
+    rng = np.random.default_rng(5)
+    pot = jnp.asarray(rng.random((8, 8, 4)), dtype=jnp.float32)
+    w1 = jnp.asarray(rng.random((5, 8)), dtype=jnp.float32)
+    w2 = jnp.asarray(rng.random((5, 8)), dtype=jnp.float32)
+    mesh = make_mesh(n_batch=1, n_model=8)
+    got = np.asarray(
+        sharded_factored_contract(mesh, pot, w1, w2, shard_batch=False)
+    )
+    want = np.asarray(reference_factored_contract(pot, w1, w2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def _forest_model():
+    # three disconnected components with different shapes + a scalar factor
+    f1, s1, v1 = grid_mrf_model(2, 2, seed=1)
+    factors = list(f1) + [["h", "i"], ["i"]] + [["z"]] + [[]]
+    sizes = dict(s1, h=3, i=2, z=4)
+    rng = np.random.default_rng(0)
+    values = list(v1) + [rng.random((3, 2)) + 0.1, rng.random(2) + 0.1,
+                         rng.random(4) + 0.1, np.array(2.0)]
+    return factors, sizes, values
+
+
+def test_split_components():
+    factors, sizes, values = _forest_model()
+    comps = split_components(factors, sizes)
+    assert len(comps) == 3
+    covered = sorted(i for c in comps for i in c[0])
+    assert covered == list(range(len(factors)))
+
+
+def test_forest_engine_matches_monolithic():
+    factors, sizes, values = _forest_model()
+    fe = ForestEngine(factors, sizes).set_potentials(values)
+    evs = [{"g0_0": 1, "i": 0}, {"z": 2}, {}]
+    post, logz = fe.posterior_batch(evs)
+
+    # monolithic engine (components joined by empty separators)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    from junctiontree_tpu.evidence import batch_masks_sparse
+
+    post_m, logz_m = eng.posterior_batch(batch_masks_sparse(tree.plan, evs))
+    np.testing.assert_allclose(logz, np.asarray(logz_m), rtol=1e-5)
+    for v in sizes:
+        vid = tree.plan.table.id_of(v)
+        np.testing.assert_allclose(
+            post[v], np.asarray(post_m[vid]), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_forest_engine_devices_spread():
+    factors, sizes, values = _forest_model()
+    fe = ForestEngine(factors, sizes).set_potentials(values)
+    assert len({str(d) for d in fe.device_of}) == min(3, len(jax.devices()))
