@@ -1,11 +1,9 @@
-"""Headline benchmark: batched-evidence queries/s on the 6x6 grid MRF.
+"""Benchmark suite.  Prints ONE JSON line on stdout (primary metric, the
+headline batched-evidence grid-MRF queries/s vs the reference's measured 138
+queries/s baseline from BASELINE.md); secondary metrics go to stderr.
 
-Baseline (BASELINE.md): the reference sustains ~138 queries/s on this model
-(single evidence instantiation per propagate call, 1 CPU core).  Here one
-compiled XLA program serves a whole evidence batch per step on one TPU chip.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": N}
+Run: python bench.py            (full suite, ~3 min with compiles)
+     python bench.py --fast     (primary metric only)
 """
 
 from __future__ import annotations
@@ -19,50 +17,153 @@ import numpy as np
 BASELINE_QPS = 138.0  # reference, 6x6 grid MRF, 1 CPU core (BASELINE.md)
 
 
-def main(batch=8192, iters=20, rows=6, cols=6):
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def steady(fn, *args, iters=20):
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, compile_t
+
+
+def bench_grid_primary(batch=8192):
+    """Headline: 6x6 grid MRF, vmapped batched evidence queries."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     import junctiontree_tpu as jt
     from junctiontree_tpu.evidence import batch_masks, random_evidence_batch
     from junctiontree_tpu.models import grid_mrf_model
     from junctiontree_tpu.parallel.batch import _single_query
     from junctiontree_tpu.ops.semirings import SUM_PRODUCT
-    from functools import partial
+
+    factors, sizes, values = grid_mrf_model(6, 6, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    pots = [p.astype(jnp.float32) for p in eng._pots]
+    observed = [v for i, v in enumerate(sizes) if i % 3 == 0]
+    evs = random_evidence_batch(tree.plan, batch, observed, seed=1)
+    masks = [jnp.asarray(m) for m in batch_masks(tree.plan, evs)]
+    fn = jax.jit(
+        jax.vmap(partial(_single_query, tree.plan, SUM_PRODUCT), in_axes=(None, 0))
+    )
+    dt, ct = steady(fn, pots, masks)
+    qps = batch / dt
+    log(f"# 6x6 grid  B={batch}: {dt*1e3:.2f} ms/step  {qps:,.0f} q/s  (compile {ct:.1f}s)")
+    return qps
+
+
+def bench_grid_8x8(batch=4096):
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(8, 8, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    evs = random_evidence_batch(tree.plan, batch, list(sizes)[:20], seed=1)
+    masks = {
+        k: jnp.asarray(v)
+        for k, v in batch_masks_sparse(tree.plan, evs).items()
+    }
+    dt, ct = steady(eng.query_batch, masks, iters=10)
+    log(f"# 8x8 grid  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
+        f"(treewidth {tree.stats()['treewidth']}, compile {ct:.1f}s)")
+
+
+def bench_chain(n=5000, batch=1024):
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import chain_bn_model
 
     t0 = time.perf_counter()
-    factors, sizes, values = grid_mrf_model(rows, cols, seed=0)
+    factors, sizes, values = chain_bn_model(n, seed=1)
     tree = jt.create_junction_tree(factors, sizes)
-    plan = tree.plan
-    compile_host = time.perf_counter() - t0
-
-    pots = [
-        p.astype(jnp.float32)
-        for p in tree.engine()._evaluate_jit(
-            [jnp.asarray(v, dtype=jnp.float32) for v in values]
-        )
-    ]
-    observed = [v for i, v in enumerate(sizes) if i % 3 == 0]
-    evs = random_evidence_batch(plan, batch, observed, seed=1)
-    masks = [jnp.asarray(m) for m in batch_masks(plan, evs)]
-
-    fn = jax.jit(
-        jax.vmap(partial(_single_query, plan, SUM_PRODUCT), in_axes=(None, 0))
+    build = time.perf_counter() - t0
+    eng = tree.engine().set_potentials(values)
+    evs = random_evidence_batch(
+        tree.plan, batch, [f"x{i}" for i in range(0, n, 500)], seed=2
     )
+    masks = {
+        k: jnp.asarray(v)
+        for k, v in batch_masks_sparse(tree.plan, evs).items()
+    }
+    dt, ct = steady(eng.posterior_batch, masks, iters=10)
+    log(f"# {n}-var chain  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
+        f"(plan build {build:.1f}s, compile {ct:.1f}s, lax.scan path)")
 
-    t1 = time.perf_counter()
-    out = fn(pots, masks)
-    jax.block_until_ready(out)
-    compile_xla = time.perf_counter() - t1
 
-    # steady state
-    t2 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(pots, masks)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t2) / iters
-    qps = batch / dt
+def bench_big_clique(batch=4096):
+    """End-to-end on one 2^18-state clique (18 binary vars, evidence on 12):
+    Z + 6 var marginals via the Pallas factored-mask path vs the XLA
+    fallback of the same factorization."""
+    import jax
+    import jax.numpy as jnp
 
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.ops.pallas_contract import big_clique_sep_message
+
+    rng = np.random.default_rng(0)
+    nv = 18
+    names = [f"v{i}" for i in range(nv)]
+    factors = [names[:]] + [[n] for n in names]
+    sizes = {n: 2 for n in names}
+    values = [rng.random((2,) * nv).astype(np.float32) + 0.1] + [
+        rng.random(2) + 0.1 for _ in names
+    ]
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    plan = tree.plan
+    evs = random_evidence_batch(plan, batch, names[:12], seed=1)
+    masks = {
+        plan.table.id_of(k): jnp.asarray(v)
+        for k, v in batch_masks_sparse(plan, evs).items()
+    }
+    pot = eng._pots[0]
+    cvars = plan.clique_vars[0]
+    out_sets = [[plan.table.id_of(n)] for n in names[:6]] + [[]]
+
+    def make(up):
+        return jax.jit(
+            lambda pot, masks: [
+                big_clique_sep_message(pot, cvars, masks, ov, use_pallas=up)
+                for ov in out_sets
+            ]
+        )
+
+    dt_p, ct_p = steady(make(True), pot, masks, iters=10)
+    dt_x, ct_x = steady(make(False), pot, masks, iters=10)
+    log(f"# 2^18-state clique, Z+6 marginals  B={batch}: pallas {dt_p*1e3:.3f} ms "
+        f"({batch/dt_p:,.0f} q/s)  xla {dt_x*1e3:.3f} ms  ({dt_x/dt_p:.1f}x speedup)")
+
+
+def main():
+    fast = "--fast" in sys.argv
+    import jax
+
+    log(f"# device: {jax.devices()[0].device_kind}")
+    qps = bench_grid_primary()
+    if not fast:
+        for b in (bench_grid_8x8, bench_chain, bench_big_clique):
+            try:
+                b()
+            except Exception as e:  # secondary benches must not kill the run
+                log(f"# {b.__name__} failed: {type(e).__name__}: {e}")
     print(
         json.dumps(
             {
@@ -72,11 +173,6 @@ def main(batch=8192, iters=20, rows=6, cols=6):
                 "vs_baseline": round(qps / BASELINE_QPS, 2),
             }
         )
-    )
-    print(
-        f"# batch={batch} step={dt*1e3:.2f}ms host_compile={compile_host:.2f}s "
-        f"xla_compile={compile_xla:.1f}s device={jax.devices()[0].device_kind}",
-        file=sys.stderr,
     )
 
 

@@ -102,7 +102,10 @@ def factored_masked_contract(
     #   partial[TB, C] = w2[TB, R2] . pot_i[C, R2]^T
     # Tiling: TB batch tile; TR1 r1 tile auto-sized to a VMEM budget using
     # the padded sublane extent of C.
-    TB = min(block_b, _round_up(B, 8))
+    # cap the batch tile so the double-buffered w2 block fits VMEM even for
+    # very wide R2 (w2 block is TB x R2)
+    tb_fit = max(128, (3 * 1024 * 1024) // max(R2 * 4, 1) // 128 * 128)
+    TB = min(block_b, tb_fit, _round_up(B, 8))
     Bp = _round_up(B, TB)
     vmem_budget = 2 * 1024 * 1024  # bytes for the potential block
     c_pad = _round_up(C, 8)
