@@ -173,6 +173,7 @@ def compile_plan(
     sizes: Dict[Hashable, int],
     root: Optional[int] = None,
     backend: str = "auto",
+    heuristic: str = "min_fill",
 ) -> Plan:
     """Full compile path: intern -> triangulate -> junction tree -> plan.
 
@@ -181,7 +182,12 @@ def compile_plan(
 
     backend: "auto" uses the native C++ compiler (junctiontree_tpu/native)
     when it is available and the model is large enough to matter, falling
-    back to pure Python; "native" / "python" force a path."""
+    back to pure Python; "native" / "python" force a path.
+
+    heuristic: elimination-order heuristic — 'min_fill' (reference parity,
+    default), 'min_degree', 'min_weight', or 'portfolio' (run all three in
+    Python and keep the smallest total clique state space; ignores the
+    native backend)."""
     table, int_factors, int_sizes = intern_factors(factors, sizes)
     if not int_factors:
         raise ValueError("need at least one factor")
@@ -190,8 +196,14 @@ def compile_plan(
 
     tri = None
     tree = None
-    use_native = backend == "native" or (
-        backend == "auto" and len(int_sizes) >= 512
+    if heuristic == "portfolio":
+        from .triangulate import portfolio_triangulation
+
+        tri = portfolio_triangulation(int_factors, int_sizes)
+        tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
+    use_native = tri is None and heuristic == "min_fill" and (
+        backend == "native"
+        or (backend == "auto" and len(int_sizes) >= 512)
     )
     if use_native:
         from . import native
@@ -216,7 +228,7 @@ def compile_plan(
                 len(nat["maxcliques"]), nat["separators"], nat["edges"], root
             )
     if tri is None:
-        tri = min_fill_triangulation(int_factors, int_sizes)
+        tri = min_fill_triangulation(int_factors, int_sizes, heuristic=heuristic)
         tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
 
     # evidence landing site: smallest clique containing each var

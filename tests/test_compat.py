@@ -1,0 +1,81 @@
+"""Compatibility-facade tests: reference-shaped module surfaces."""
+
+import numpy as np
+import pytest
+
+import junctiontree_tpu as jt
+from junctiontree_tpu import computation, construction, sum_product
+from junctiontree_tpu.executor import evaluate_cliques
+
+from .util import brute_force_marginals, grid_mrf, random_values
+
+
+def test_find_triangulation_label_space():
+    factors, sizes = grid_mrf(2, 3)
+    fill, cliques, f2c = construction.find_triangulation(factors, sizes)
+    assert len(f2c) == len(factors)
+    for f, c in zip(factors, f2c):
+        assert set(f) <= set(cliques[c])
+    for a, b in fill:
+        assert a in sizes and b in sizes
+
+
+def test_construct_junction_tree_label_space():
+    factors, sizes = grid_mrf(2, 2)
+    _, cliques, _ = construction.find_triangulation(factors, sizes)
+    tree, seps = construction.construct_junction_tree(cliques, sizes)
+    assert isinstance(tree, list) and isinstance(tree[0], int)
+    # separator ids in the nested tree are offset by the clique count
+    def walk(node):
+        for sep, sub in node[1:]:
+            assert sep >= len(cliques)
+            assert set(seps[sep - len(cliques)]) <= set(cliques[node[0]])
+            walk(sub)
+    walk(tree)
+
+
+def test_compute_beliefs_facade():
+    import jax.numpy as jnp
+
+    factors, sizes = grid_mrf(2, 3)
+    values = random_values(factors, sizes, seed=31)
+    plan = jt.compile_plan(factors, sizes)
+    pots = evaluate_cliques(plan, [jnp.asarray(v) for v in values])
+    cb, sb = computation.compute_beliefs(plan, pots)
+    assert len(cb) == plan.tri.num_cliques
+    assert len(sb) == len(plan.tree.separators)
+    # clique beliefs are the joint marginals over clique vars
+    for c, b in enumerate(cb):
+        labels = plan.table.labels_of(plan.clique_vars[c])
+        (expect,) = brute_force_marginals(factors, sizes, values, [labels])
+        np.testing.assert_allclose(b, expect, rtol=1e-6)
+
+
+def test_sum_product_interleaved_einsum():
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 3))
+    b = rng.random((3, 4))
+    sp = sum_product.SumProduct()
+    got = sp.einsum(a, ["x", "y"], b, ["y", "z"], ["x", "z"])
+    np.testing.assert_allclose(got, a @ b, rtol=1e-6)
+    # arbitrary hashable labels, including tuples (breaks the reference)
+    got2 = sp.einsum(a, [(0,), 1], b, [1, "z"], [(0,)])
+    np.testing.assert_allclose(got2, (a @ b).sum(axis=1), rtol=1e-6)
+
+
+def test_sum_product_max_semiring():
+    rng = np.random.default_rng(1)
+    a = np.log(rng.random((2, 3)) + 0.1)
+    sp = sum_product.SumProduct("max_product")
+    got = sp.einsum(a, ["x", "y"], ["x"])
+    np.testing.assert_allclose(got, a.max(axis=1), rtol=1e-6)
+
+
+def test_sum_product_bad_args():
+    sp = sum_product.SumProduct()
+    with pytest.raises(ValueError):
+        sp.einsum(np.ones(2), ["x"])  # even arg count
+
+
+def test_apply_evidence_reexport():
+    assert computation.apply_evidence is jt.apply_evidence
