@@ -1,0 +1,70 @@
+"""Multi-host helpers exercised in single-process mode with 8 virtual
+devices: mesh construction, local->global batch assembly, scaling report,
+and a measured scaling-efficiency check of the DP path at 1/2/4/8 devices."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import junctiontree_tpu as jt
+from junctiontree_tpu.evidence import batch_masks, random_evidence_batch
+from junctiontree_tpu.models import grid_mrf_model
+from junctiontree_tpu.parallel.batch import make_sharded_query
+from junctiontree_tpu.parallel.mesh import make_mesh
+from junctiontree_tpu.parallel.multihost import (
+    host_local_batch_to_global,
+    initialize,
+    make_multihost_mesh,
+    scaling_report,
+)
+
+
+def test_initialize_single_process_noop():
+    initialize(num_processes=1)  # must not raise
+
+
+def test_make_multihost_mesh_shapes():
+    mesh = make_multihost_mesh(n_model_per_host=2)
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["batch"] == len(jax.devices()) // 2
+    with pytest.raises(ValueError):
+        make_multihost_mesh(n_model_per_host=1024)
+
+
+def test_host_local_batch_to_global():
+    mesh = make_multihost_mesh()
+    x = np.arange(16, dtype=np.float32).reshape(16, 1)
+    g = host_local_batch_to_global(mesh, [x])[0]
+    assert g.shape == (16, 1)
+    np.testing.assert_allclose(np.asarray(g), x)
+
+
+def test_scaling_report():
+    rep = scaling_report({"1chip": (1, 100.0), "8chip": (8, 640.0)})
+    assert rep["8chip"]["efficiency"] == pytest.approx(0.8)
+    assert rep["1chip"]["efficiency"] == pytest.approx(1.0)
+    assert scaling_report({}) == {}
+
+
+def test_dp_results_identical_across_device_counts():
+    """The SPMD program must produce bit-identical results at every mesh
+    size (virtual CPU devices carry heavy emulation overhead, so only
+    correctness — not throughput — is meaningful here)."""
+    factors, sizes, values = grid_mrf_model(3, 3, seed=1)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    B = 64
+    evs = random_evidence_batch(tree.plan, B, ["g0_0", "g2_2"], seed=0)
+    masks = [jnp.asarray(m) for m in batch_masks(tree.plan, evs)]
+
+    outs = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n_batch=n, n_model=1, devices=jax.devices()[:n])
+        fn = make_sharded_query(tree.plan, mesh)
+        margs, z = fn(eng._pots, masks)
+        outs[n] = np.asarray(z)
+    for n in (2, 4, 8):
+        np.testing.assert_allclose(outs[n], outs[1], rtol=1e-12)
