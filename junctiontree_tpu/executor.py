@@ -810,6 +810,41 @@ class Engine:
         plan = self.plan
         evidence = dict(evidence or {})
 
+        # chain fast path: exact Viterbi with traceback (tie-safe, O(1)
+        # compile in chain length)
+        layout = self._chain_layout()
+        if layout is not None and self._pots_np is not None:
+            from .scan_executor import chain_viterbi_program, stack_chain_potentials
+
+            key = ("viterbi",)
+            fn = self._batched_cache.get(key)
+            if fn is None:
+                prog = chain_viterbi_program(plan, layout)
+                fn = jax.jit(
+                    lambda A, ms: prog(A, ms), static_argnames=()
+                )
+                self._batched_cache[key] = fn
+            logA = jax.device_put(
+                stack_chain_potentials(layout, self._pots_np)
+            )  # max_product pots are already log-space
+            logmasks = {}
+            for label, state in evidence.items():
+                v = plan.table.id_of(label)
+                mk = np.full((1, plan.sizes[v]), -np.inf, dtype=np.float32)
+                mk[0, int(state)] = 0.0
+                logmasks[v] = jnp.asarray(mk)
+            if not logmasks:
+                # program needs at least one mask to know B; use var 0
+                logmasks[layout.var_order[0]] = jnp.zeros(
+                    (1, layout.card), dtype=jnp.float32
+                )
+            assign, score = fn(logA, logmasks)
+            out = {
+                plan.table.label_of(v): int(np.asarray(assign)[0, v])
+                for v in range(plan.num_vars)
+            }
+            return out, float(np.asarray(score)[0])
+
         def decode(ev):
             masks = {}
             for label, state in ev.items():

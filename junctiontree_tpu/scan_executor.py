@@ -193,6 +193,58 @@ def chain_posterior_program(plan: Plan, layout: ChainLayout):
     return fn
 
 
+def chain_viterbi_program(plan: Plan, layout: ChainLayout):
+    """Exact MAP decoding on a uniform chain: log-space max forward scan
+    with argmax bookkeeping + traceback scan (classic Viterbi), O(1)-size
+    XLA program in chain length.
+
+    Returns ``fn(logA, logmasks) -> (assignment [B, m+1] int32, score [B])``
+    where ``logA`` is the [m, K, K] log-transition stack
+    (log of ``stack_chain_potentials``) and ``logmasks`` a dict
+    var_id -> [B, K] log-space mask."""
+    m = len(layout.clique_order)
+    K = layout.card
+
+    def fn(logA: jnp.ndarray, logmasks: Dict[int, jnp.ndarray]):
+        B = next(iter(logmasks.values())).shape[0] if logmasks else 1
+        dtype = logA.dtype
+        chain_pos = {v: k for k, v in enumerate(layout.var_order)}
+        LM = jnp.zeros((m + 1, B, K), dtype=dtype)
+        for v, mk in logmasks.items():
+            LM = LM.at[chain_pos[v]].set(jnp.asarray(mk, dtype=dtype))
+
+        def fwd(V, inp):
+            a, lm = inp
+            # scores[b, p, q] = V[b,p] + lm[b,p] + a[p,q]
+            scores = (V + lm)[:, :, None] + a[None]
+            Vn = jnp.max(scores, axis=1)
+            ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            return Vn, ptr
+
+        V_last, ptrs = jax.lax.scan(
+            fwd, jnp.zeros((B, K), dtype=dtype), (logA, LM[:-1])
+        )
+        final = V_last + LM[-1]
+        score = jnp.max(final, axis=-1)
+        x_last = jnp.argmax(final, axis=-1).astype(jnp.int32)
+
+        def back(x_next, ptr_k):
+            x_k = jnp.take_along_axis(
+                ptr_k, x_next[:, None], axis=1
+            )[:, 0]
+            return x_k, x_next
+
+        x0, xs_rev = jax.lax.scan(back, x_last, ptrs, reverse=True)
+        # xs_rev[k] = x_{k+1}; prepend x0
+        assign = jnp.concatenate([x0[None], xs_rev], axis=0)  # [m+1, B]
+        # reorder chain positions -> var-id columns
+        order = np.argsort(np.asarray(layout.var_order))
+        assign = jnp.transpose(assign, (1, 0))[:, order]
+        return assign, score
+
+    return fn
+
+
 class StackedPosteriors:
     """Lazy per-variable-id view over the chain program's stacked [m+1, B, K]
     posterior tensor.  Behaves like the list-of-arrays the general program

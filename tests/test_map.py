@@ -76,3 +76,40 @@ def test_map_from_sum_product_engine():
     got, score = eng.map_assignment()
     want, want_score = exhaustive_map(factors, sizes, values)
     np.testing.assert_allclose(score, want_score, rtol=1e-5)
+
+
+def test_chain_viterbi_matches_exhaustive():
+    """Chains route through the O(1)-compile Viterbi traceback."""
+    from junctiontree_tpu.models import chain_bn_model
+
+    for card, n in [(2, 6), (3, 5)]:
+        factors, sizes, values = chain_bn_model(n, card=card, seed=n + card)
+        tree = jt.create_junction_tree(factors, sizes)
+        eng = tree.engine("max_product").set_potentials(values)
+        assert eng._chain_layout() is not None
+        got, score = eng.map_assignment({"x1": 0})
+        assert got["x1"] == 0
+        want, want_score = exhaustive_map(
+            factors, sizes, values, evidence={"x1": 0}
+        )
+        np.testing.assert_allclose(score, want_score, rtol=1e-5)
+        # Viterbi returns an actual argmax assignment — verify by scoring
+        np.testing.assert_allclose(
+            eng.score_assignment(got), want_score, rtol=1e-5
+        )
+
+
+def test_long_chain_viterbi_fast_compile():
+    import time
+
+    from junctiontree_tpu.models import chain_bn_model
+
+    factors, sizes, values = chain_bn_model(1500, seed=2)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    t0 = time.perf_counter()
+    got, score = eng.map_assignment()
+    dt = time.perf_counter() - t0
+    assert len(got) == 1500
+    assert np.isfinite(score)
+    assert dt < 30.0  # unrolled max-product would take minutes
