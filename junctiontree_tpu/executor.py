@@ -877,6 +877,50 @@ class Engine:
             ev[label] = a[label]
         return ev, self.score_assignment(ev)
 
+    def map_assignment_batch(self, mask_batch):
+        """Batched MAP queries on chain-structured models: exact Viterbi
+        with traceback over the whole evidence batch in one program.
+
+        ``mask_batch``: dict {var label: [B, size_v]} of LOG-space masks
+        (0 / -inf).  Returns (assignments [B, num_vars] int32, scores [B]).
+        Non-chain plans raise (use ``map_assignment`` per query)."""
+        if self.semiring.name != "max_product":
+            eng = Engine(self.plan, MAX_PRODUCT)
+            if self._pots_np is None:
+                raise RuntimeError("call set_potentials(values) first")
+            eng._pots_np = (
+                list(self._pots_np)
+                if self.semiring.is_log
+                else [np.log(np.maximum(p, 1e-300)) for p in self._pots_np]
+            )
+            eng._pots = [jax.device_put(p) for p in eng._pots_np]
+            return eng.map_assignment_batch(mask_batch)
+        layout = self._chain_layout()
+        if layout is None:
+            raise ValueError(
+                "map_assignment_batch requires a chain-structured plan; "
+                "use map_assignment per query for general trees"
+            )
+        from .scan_executor import chain_viterbi_program, stack_chain_potentials
+
+        key = ("viterbi_batch",)
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            prog = chain_viterbi_program(self.plan, layout)
+            fn = jax.jit(lambda A, ms: prog(A, ms))
+            self._batched_cache[key] = fn
+        logA = jax.device_put(stack_chain_potentials(layout, self._pots_np))
+        logmasks = {
+            self.plan.table.id_of(k): jnp.asarray(v)
+            for k, v in mask_batch.items()
+        }
+        if not logmasks:
+            logmasks[layout.var_order[0]] = jnp.zeros(
+                (1, layout.card), dtype=jnp.float32
+            )
+        assign, score = fn(logA, logmasks)
+        return np.asarray(assign), np.asarray(score)
+
     def score_assignment(self, assignment: Dict[Hashable, int]) -> float:
         """log of the unnormalized joint value at a full assignment."""
         if self._pots_np is None:

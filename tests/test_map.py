@@ -113,3 +113,35 @@ def test_long_chain_viterbi_fast_compile():
     assert len(got) == 1500
     assert np.isfinite(score)
     assert dt < 30.0  # unrolled max-product would take minutes
+
+
+def test_map_assignment_batch_chain():
+    from junctiontree_tpu.models import chain_bn_model
+
+    factors, sizes, values = chain_bn_model(8, seed=4)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+
+    B = 3
+    masks = {"x3": np.full((B, 2), -np.inf, dtype=np.float32)}
+    states = [0, 1, 0]
+    for b, s in enumerate(states):
+        masks["x3"][b, s] = 0.0
+    assigns, scores = eng.map_assignment_batch(masks)
+    assert assigns.shape == (B, 8)
+    for b, s in enumerate(states):
+        vid = tree.plan.table.id_of("x3")
+        assert assigns[b, vid] == s
+        want, want_score = exhaustive_map(
+            factors, sizes, values, evidence={"x3": s}
+        )
+        np.testing.assert_allclose(scores[b], want_score, rtol=1e-5)
+
+
+def test_map_assignment_batch_rejects_non_chain():
+    factors, sizes = grid_mrf(2, 3)
+    values = random_values(factors, sizes, seed=1)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    with np.testing.assert_raises(ValueError):
+        eng.map_assignment_batch({})
