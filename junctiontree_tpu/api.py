@@ -24,6 +24,44 @@ from .ops.semirings import SEMIRINGS, SUM_PRODUCT, Semiring
 from .schedule import Plan, compile_plan
 
 
+def einsum(xs, xs_keys, y_keys):
+    """Key-flexible einsum: arbitrary hashable axis keys, and output-only
+    keys allowed (role of reference junctiontree.py:34-80, which prepends
+    output-only keys to the first input as length-1 axes).
+
+    Here output-only keys become length-1 axes of the *result* (broadcast
+    them yourself if full extents are needed — see CliqueGraph.evaluate for
+    the full-extent behavior)."""
+    import jax.numpy as jnp
+
+    from .ops.semirings import SUM_PRODUCT
+
+    table: dict = {}
+    for ks in list(xs_keys) + [list(y_keys)]:
+        for k in ks:
+            table.setdefault(k, len(table))
+    covered = {k for ks in xs_keys for k in ks}
+    inner_out = [k for k in y_keys if k in covered]
+    res = SUM_PRODUCT.contract(
+        [jnp.asarray(x) for x in xs],
+        [[table[k] for k in ks] for ks in xs_keys],
+        [table[k] for k in inner_out],
+    )
+    # insert length-1 axes for output-only keys, in y_keys order
+    out_shape = []
+    take = 0
+    for k in y_keys:
+        if k in covered:
+            out_shape.append(res.shape[take])
+            take += 1
+        else:
+            out_shape.append(1)
+    pos = {k: i for i, k in enumerate(inner_out)}
+    perm = [pos[k] for k in y_keys if k in covered]
+    res = jnp.transpose(res, perm).reshape(out_shape) if inner_out else res.reshape(out_shape)
+    return np.asarray(res)
+
+
 def create_junction_tree(factors, sizes) -> "JunctionTree":
     """Build a junction tree for the given factor graph.
 
@@ -80,6 +118,21 @@ class CliqueGraph:
 
         vals = [jnp.asarray(v, dtype=jnp.float32) for v in values]
         return [np.asarray(p) for p in evaluate_cliques(self._plan, vals)]
+
+
+    def marginalize(self, clique_beliefs) -> List[np.ndarray]:
+        """Project consistent clique beliefs back onto each factor's
+        variables (role of reference ``CliqueGraph.marginalize``,
+        junctiontree.py:229-274): returns one array per factor, same shape
+        as that factor's value array."""
+        import jax.numpy as jnp
+
+        from .executor import factor_marginals
+
+        out = factor_marginals(
+            self._plan, [jnp.asarray(b) for b in clique_beliefs]
+        )
+        return [np.asarray(x) for x in out]
 
 
 class JunctionTree:

@@ -694,9 +694,55 @@ class Engine:
             masks = [jnp.asarray(m) for m in mask_batch]
         return tuple(ids), masks
 
-    def posterior_batch(self, mask_batch):
+    def posterior_batch_fused(self, mask_batch):
+        """Level-fused serving path (see fused.py): same contract as
+        ``posterior_batch`` but the program is O(levels x groups) instead of
+        O(cliques) — use on regular models with many small cliques.  Linear
+        sum-product only."""
+        if self.semiring.name != "sum_product":
+            raise ValueError("fused path requires the sum_product semiring")
+        pots = self._require_pots()
+        if self._pots_np is None:
+            raise RuntimeError("call set_potentials(values) first")
+        ids, masks = self._masks_to_program_args(mask_batch)
+        key = ("fused", ids)
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            from .fused import (
+                FusedPosteriors,
+                build_fused_schedule,
+                fused_posterior_program,
+                stack_group_potentials,
+            )
+
+            if getattr(self, "_fused_sched", None) is None:
+                self._fused_sched = build_fused_schedule(self.plan)
+            if getattr(self, "_fused_stack", None) is None:
+                self._fused_stack = jax.tree_util.tree_map(
+                    jax.device_put,
+                    stack_group_potentials(
+                        self._fused_sched[0], self._pots_np
+                    ),
+                )
+            sched, sorted_children = self._fused_sched
+            prog = fused_posterior_program(sched, sorted_children, list(ids))
+            jfn = jax.jit(prog)
+            holder = self
+
+            def fn(pots, masks, _jfn=jfn, _sched=sched):
+                marg, logz = _jfn(holder._fused_stack, masks)
+                return FusedPosteriors(_sched, marg), logz
+
+            self._batched_cache[key] = fn
+        return fn(pots, masks)
+
+    def posterior_batch(self, mask_batch, mode: str = "auto"):
         """Production serving path: normalized per-variable posteriors +
         log-partition, numerically stable at any model size.
+
+        mode: "auto" picks the chain scan program for uniform chains, the
+        level-fused program for regular many-small-clique models, else the
+        batch-aware einsum program; "general" / "fused" force a path.
 
         For the linear sum-product engine this runs HMM-style rescaled
         message passing (all contractions stay float32/MXU; each message is
@@ -707,8 +753,27 @@ class Engine:
         Returns (posteriors: list over var ids of [B, size_v] normalized
         linear-space arrays, logZ: [B])."""
         pots = self._require_pots()
-        ids, masks = self._masks_to_program_args(mask_batch)
         sr = self.semiring
+        if mode == "fused":
+            return self.posterior_batch_fused(mask_batch)
+        if (
+            mode == "auto"
+            and sr.name == "sum_product"
+            and self._pots_np is not None
+            and self._chain_layout() is None
+        ):
+            st = self.plan.stats()
+            if st["num_cliques"] >= 32 and st["max_clique_states"] <= (1 << 13):
+                # only worth it if level grouping actually fuses cliques
+                if getattr(self, "_fused_sched", None) is None:
+                    from .fused import build_fused_schedule
+
+                    self._fused_sched = build_fused_schedule(self.plan)
+                sched = self._fused_sched[0]
+                n_groups = sum(len(gs) for gs in sched.levels)
+                if n_groups * 2 <= st["num_cliques"]:
+                    return self.posterior_batch_fused(mask_batch)
+        ids, masks = self._masks_to_program_args(mask_batch)
         key = ("posterior", ids)
         fn = self._batched_cache.get(key)
         if fn is None:

@@ -114,10 +114,13 @@ class Semiring:
         scopes explicitly — see executor), so no output-only axes arise here.
         """
         if self.name == "sum_product":
+            # exhaustive contraction-path search is exponential in operand
+            # count (a 10-child clique hangs it); switch to greedy beyond 6
+            opt = "optimal" if len(operands) <= 6 else "greedy"
             return jnp.einsum(
                 make_subscripts(operand_vars, out_vars),
                 *operands,
-                optimize=True,
+                optimize=opt,
                 precision=_MATMUL_PRECISION,
             )
         scope = _union_scope(operand_vars, out_vars)

@@ -79,3 +79,39 @@ def test_sum_product_bad_args():
 
 def test_apply_evidence_reexport():
     assert computation.apply_evidence is jt.apply_evidence
+
+
+def test_api_einsum_output_only_keys():
+    from junctiontree_tpu.api import einsum as kv_einsum
+
+    rng = np.random.default_rng(0)
+    a = rng.random((3, 4))
+    # output-only key 'w' becomes a length-1 axis
+    got = kv_einsum([a], [["x", "y"]], ["w", "x"])
+    assert got.shape == (1, 3)
+    np.testing.assert_allclose(got[0], a.sum(axis=1), rtol=1e-6)
+    # plain contraction with hashable keys
+    b = rng.random((4, 2))
+    got2 = kv_einsum([a, b], [[0, 1], [1, ("z",)]], [0, ("z",)])
+    np.testing.assert_allclose(got2, a @ b, rtol=1e-6)
+    # everything output-only
+    got3 = kv_einsum([np.array(2.5)], [[]], ["p", "q"])
+    assert got3.shape == (1, 1)
+    np.testing.assert_allclose(got3, [[2.5]])
+
+
+def test_clique_graph_marginalize_roundtrip():
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.executor import evaluate_cliques, propagate_cliques
+
+    factors, sizes = grid_mrf(2, 3)
+    values = random_values(factors, sizes, seed=12)
+    tree = jt.create_junction_tree(factors, sizes)
+    pots = evaluate_cliques(tree.plan, [jnp.asarray(v) for v in values])
+    beliefs, _ = propagate_cliques(tree.plan, pots)
+    out = tree.clique_tree.marginalize(beliefs)
+    expect = brute_force_marginals(factors, sizes, values, factors)
+    for o, e in zip(out, expect):
+        np.testing.assert_allclose(o, e, rtol=1e-6)
