@@ -911,13 +911,17 @@ class Engine:
             return out, float(np.asarray(score)[0])
 
         def decode(ev):
-            masks = {}
+            # full per-var mask list (ones where unobserved) keeps the jit
+            # signature constant across the tie-repair loop — one compiled
+            # program regardless of how many variables get pinned
+            masks = [
+                np.zeros((1, s), dtype=np.float32) for s in plan.sizes
+            ]
             for label, state in ev.items():
                 v = plan.table.id_of(label)
-                m = np.full((1, plan.sizes[v]), -np.inf, dtype=np.float32)
-                m[0, int(state)] = 0.0
-                masks[label] = m
-            margs, logz = self.query_batch(masks if masks else {})
+                masks[v][:] = -np.inf
+                masks[v][0, int(state)] = 0.0
+            margs, logz = self.query_batch(masks)
             assign = {}
             for v in range(plan.num_vars):
                 assign[plan.table.label_of(v)] = int(
