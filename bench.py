@@ -35,6 +35,13 @@ def steady(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters, compile_t
 
 
+RESULTS: list = []  # secondary results for --json-all
+
+
+def record(name, value, unit, **extra):
+    RESULTS.append(dict(metric=name, value=value, unit=unit, **extra))
+
+
 def bench_grid_primary(batch=8192):
     """Headline: 6x6 grid MRF, vmapped batched evidence queries."""
     import jax
@@ -60,6 +67,8 @@ def bench_grid_primary(batch=8192):
     dt, ct = steady(fn, pots, masks)
     qps = batch / dt
     log(f"# 6x6 grid  B={batch}: {dt*1e3:.2f} ms/step  {qps:,.0f} q/s  (compile {ct:.1f}s)")
+    record("6x6 grid batched-evidence", round(qps, 1), "queries/s",
+           batch=batch, step_ms=round(dt * 1e3, 3))
     return qps
 
 
@@ -81,6 +90,8 @@ def bench_grid_8x8(batch=4096):
     dt, ct = steady(eng.query_batch, masks, iters=10)
     log(f"# 8x8 grid  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
         f"(treewidth {tree.stats()['treewidth']}, compile {ct:.1f}s)")
+    record("8x8 grid batched-evidence", round(batch / dt, 1), "queries/s",
+           batch=batch, step_ms=round(dt * 1e3, 3))
 
 
 def bench_chain(n=5000, batch=1024):
@@ -105,6 +116,8 @@ def bench_chain(n=5000, batch=1024):
     dt, ct = steady(eng.posterior_batch, masks, iters=10)
     log(f"# {n}-var chain  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
         f"(plan build {build:.1f}s, compile {ct:.1f}s, lax.scan path)")
+    record(f"{n}-var chain batched-evidence", round(batch / dt, 1), "queries/s",
+           batch=batch, step_ms=round(dt * 1e3, 3), plan_build_s=round(build, 2))
 
 
 def bench_big_clique(batch=4096):
@@ -150,10 +163,16 @@ def bench_big_clique(batch=4096):
     dt_x, ct_x = steady(make(False), pot, masks, iters=10)
     log(f"# 2^18-state clique, Z+6 marginals  B={batch}: pallas {dt_p*1e3:.3f} ms "
         f"({batch/dt_p:,.0f} q/s)  xla {dt_x*1e3:.3f} ms  ({dt_x/dt_p:.1f}x speedup)")
+    record("2^18-state clique Z+6 marginals (pallas)", round(batch / dt_p, 1),
+           "queries/s", batch=batch, pallas_ms=round(dt_p * 1e3, 3),
+           xla_ms=round(dt_x * 1e3, 3))
 
 
 def main():
     fast = "--fast" in sys.argv
+    json_all = None
+    if "--json-all" in sys.argv:
+        json_all = sys.argv[sys.argv.index("--json-all") + 1]
     import jax
 
     log(f"# device: {jax.devices()[0].device_kind}")
@@ -164,6 +183,9 @@ def main():
                 b()
             except Exception as e:  # secondary benches must not kill the run
                 log(f"# {b.__name__} failed: {type(e).__name__}: {e}")
+    if json_all:
+        with open(json_all, "w") as f:
+            json.dump(RESULTS, f, indent=1)
     print(
         json.dumps(
             {

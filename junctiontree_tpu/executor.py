@@ -692,6 +692,22 @@ class Engine:
         else:
             ids = list(range(self.plan.num_vars))
             masks = [jnp.asarray(m) for m in mask_batch]
+        batch_sizes = {int(m.shape[0]) for m in masks}
+        if len(batch_sizes) > 1:
+            raise ValueError(
+                "inconsistent batch sizes across evidence masks: %s"
+                % sorted(batch_sizes)
+            )
+        for v, m in zip(ids, masks):
+            if m.ndim != 2 or m.shape[1] != self.plan.sizes[v]:
+                raise ValueError(
+                    "mask for variable %r must be [B, %d], got %r"
+                    % (
+                        self.plan.table.label_of(v),
+                        self.plan.sizes[v],
+                        tuple(m.shape),
+                    )
+                )
         return tuple(ids), masks
 
     def posterior_batch_fused(self, mask_batch):

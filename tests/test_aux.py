@@ -155,3 +155,39 @@ def test_log_compile_stats_smoke(caplog):
     with caplog.at_level(logging.INFO, logger="junctiontree_tpu"):
         log_compile_stats(plan)
     assert "treewidth" in caplog.text
+
+
+def test_apply_evidence_slicing():
+    """Shape-changing evidence (reference computation.py:11-34 semantics,
+    without the [[array]] wrapping quirk)."""
+    from junctiontree_tpu.evidence import apply_evidence, shrink_sizes
+
+    factors = [["a", "b"], ["b", "c"], []]
+    sizes = {"a": 2, "b": 3, "c": 4}
+    rng = np.random.default_rng(0)
+    values = [rng.random((2, 3)), rng.random((3, 4)), np.array(1.5)]
+    ev = {"b": 2}
+    out = apply_evidence(values, factors, ev)
+    assert out[0].shape == (2, 1)
+    assert out[1].shape == (1, 4)
+    np.testing.assert_allclose(out[0][:, 0], values[0][:, 2])
+    np.testing.assert_allclose(out[1][0], values[1][2])
+    assert out[2].shape == ()  # scalars pass through
+    assert shrink_sizes(sizes, ev) == {"a": 2, "b": 1, "c": 4}
+
+
+def test_mask_batch_validation():
+    import junctiontree_tpu as jt
+
+    plan_factors = [["a", "b"], ["b", "c"]]
+    szs = {"a": 2, "b": 3, "c": 2}
+    tree = jt.create_junction_tree(plan_factors, szs)
+    eng = tree.engine().set_potentials(
+        [np.ones((2, 3)), np.ones((3, 2))]
+    )
+    with pytest.raises(ValueError, match="inconsistent batch sizes"):
+        eng.posterior_batch(
+            {"a": np.ones((3, 2), np.float32), "b": np.ones((5, 3), np.float32)}
+        )
+    with pytest.raises(ValueError, match="must be \\[B, 3\\]"):
+        eng.posterior_batch({"b": np.ones((4, 2), np.float32)})
