@@ -196,10 +196,16 @@ def compile_plan(
 
     tri = None
     tree = None
-    if heuristic == "portfolio":
+    if heuristic.startswith("portfolio"):
         from .triangulate import portfolio_triangulation
 
-        tri = portfolio_triangulation(int_factors, int_sizes)
+        # "portfolio" = 3 greedy heuristics; "portfolioN" adds N randomized
+        # min-fill restarts
+        suffix = heuristic[len("portfolio"):]
+        restarts = int(suffix) if suffix else 0
+        tri = portfolio_triangulation(
+            int_factors, int_sizes, random_restarts=restarts
+        )
         tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
     use_native = tri is None and heuristic == "min_fill" and (
         backend == "native"

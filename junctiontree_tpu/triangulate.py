@@ -103,6 +103,15 @@ def min_fill_triangulation(
         score = lambda v: (len(adj[v]), _weight(adj, sizes, v))
     elif heuristic == "min_weight":
         score = lambda v: (_weight(adj, sizes, v), _fill_count(adj, v))
+    elif heuristic.startswith("min_fill_random"):
+        # randomized tie-break among equal-fill candidates (classic
+        # best-of-k restart improvement over greedy min-fill); seed after
+        # the colon, e.g. "min_fill_random:3"
+        import numpy as _np
+
+        seed = int(heuristic.split(":", 1)[1]) if ":" in heuristic else 0
+        rng = _np.random.default_rng(seed)
+        score = lambda v: (_fill_count(adj, v), rng.random())
     else:
         raise ValueError(f"unknown elimination heuristic {heuristic!r}")
 
@@ -228,14 +237,20 @@ def portfolio_triangulation(
     factors: Sequence[Sequence[int]],
     sizes: Sequence[int],
     heuristics: Sequence[str] = PORTFOLIO,
+    random_restarts: int = 0,
 ) -> Triangulation:
-    """Run several elimination heuristics and keep the triangulation with the
-    smallest total clique state space.  Compile time multiplies by the
-    portfolio size; propagation cost often drops substantially (greedy
-    heuristics dominate each other on different graph families)."""
+    """Run several elimination heuristics (plus optional randomized
+    min-fill restarts) and keep the triangulation with the smallest total
+    clique state space.  Compile time multiplies by the portfolio size;
+    propagation cost often drops substantially (greedy heuristics dominate
+    each other on different graph families, and randomized tie-breaks
+    escape greedy min-fill's worst cases)."""
+    hs = list(heuristics) + [
+        f"min_fill_random:{k}" for k in range(random_restarts)
+    ]
     best = None
     best_cost = None
-    for h in heuristics:
+    for h in hs:
         tri = min_fill_triangulation(factors, sizes, heuristic=h)
         cost = total_states(tri, sizes)
         if best_cost is None or cost < best_cost:

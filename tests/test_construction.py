@@ -146,3 +146,30 @@ def test_missing_size_raises():
 def test_repeated_var_in_factor_raises():
     with pytest.raises(ValueError):
         compile_plan([["a", "a"]], {"a": 2})
+
+
+def test_randomized_portfolio_not_worse():
+    """portfolioN (greedy heuristics + randomized min-fill restarts) never
+    yields a larger total state space than plain min-fill, and inference
+    through its plans stays correct."""
+    from junctiontree_tpu.triangulate import total_states
+
+    factors, sizes = grid_mrf(8, 8)
+    a = compile_plan(factors, sizes, heuristic="min_fill")
+    b = compile_plan(factors, sizes, heuristic="portfolio8")
+    assert (
+        b.stats()["total_clique_states"] <= a.stats()["total_clique_states"]
+    )
+    check_triangulation(b)
+    check_running_intersection(b)
+
+    import junctiontree_tpu as jt
+    from .util import brute_force_marginals, random_values
+
+    factors, sizes = grid_mrf(3, 3)
+    values = random_values(factors, sizes, seed=0)
+    plan = compile_plan(factors, sizes, heuristic="portfolio4")
+    out = jt.Engine(plan).propagate(values)
+    expect = brute_force_marginals(factors, sizes, values, factors)
+    for o, e in zip(out, expect):
+        np.testing.assert_allclose(o, e, rtol=1e-6)
