@@ -189,7 +189,6 @@ def propagate_cliques(
     # child message to p's clique scope once, then prefix/suffix combine —
     # O(d) clique-sized combines total instead of O(d^2) operands.
     down: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
-    base: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques  # pot*down at p
     for p in tree.topo_order:
         kids = tree.children[p]
         if not kids:
@@ -199,7 +198,6 @@ def propagate_cliques(
             acc = _combine_into_scope(
                 semiring, acc, cvars[p], down[p], svars[tree.parent_sep[p]]
             )
-        base[p] = acc
         d = len(kids)
         bcast = [
             _broadcast_to_scope(up[k], svars[s], cvars[p]) for k, s in kids
@@ -633,6 +631,25 @@ class Engine:
             raise RuntimeError("call set_potentials(values) before querying")
         return self._pots
 
+    def describe(self) -> dict:
+        """Introspection: plan stats + which execution tiers are engaged."""
+        st = self.plan.stats()
+        st["semiring"] = self.semiring.name
+        st["potentials_set"] = self._pots is not None
+        st["chain_layout"] = self._chain_layout() is not None
+        st["cached_programs"] = sorted(
+            str(k[0]) for k in self._batched_cache
+        )
+        return st
+
+    def __repr__(self) -> str:
+        st = self.plan.stats()
+        return (
+            f"Engine({self.semiring.name}, vars={st['num_vars']}, "
+            f"cliques={st['num_cliques']}, treewidth={st['treewidth']}, "
+            f"max_states={st['max_clique_states']})"
+        )
+
     def query(
         self,
         evidence: Optional[Dict[Hashable, int]] = None,
@@ -790,11 +807,12 @@ class Engine:
                 if n_groups * 2 <= st["num_cliques"]:
                     return self.posterior_batch_fused(mask_batch)
         ids, masks = self._masks_to_program_args(mask_batch)
-        key = ("posterior", ids)
+        key = ("posterior", mode, ids)
         fn = self._batched_cache.get(key)
         if fn is None:
             if (
-                sr.name == "sum_product"
+                mode == "auto"
+                and sr.name == "sum_product"
                 and self._chain_layout()
                 and self._pots_np is not None
             ):
