@@ -193,6 +193,89 @@ def chain_posterior_program(plan: Plan, layout: ChainLayout):
     return fn
 
 
+def chain_posterior_parallel_program(plan: Plan, layout: ChainLayout):
+    """Sequence-parallel chain inference: log-depth associative scans.
+
+    The sequential forward recurrence F_{k+1} = F_k (M_k ⊙ pot_k) is a
+    product of per-step [K, K] matrices; ``jax.lax.associative_scan``
+    computes all prefixes in O(log m) depth, so with the step axis sharded
+    over the mesh the work parallelizes across chips (the SP/ring analog of
+    SURVEY.md §2.3 — XLA inserts the inter-device collectives).  Each
+    partial product is max-normalized inside the (still associative)
+    combine, with log-offsets accumulated, so arbitrarily long chains stay
+    in float32.
+
+    Returns ``fn(A, masks) -> (posteriors stacked [m+1, B, K], logZ [B])``
+    — same contract as ``chain_posterior_program`` (use for very long
+    chains on multi-device meshes; the sequential scan does K^2 work per
+    step vs K^3 here, so single-chip prefers the sequential program)."""
+    m = len(layout.clique_order)
+    K = layout.card
+
+    def fn(A: jnp.ndarray, masks: Dict[int, jnp.ndarray]):
+        B = next(iter(masks.values())).shape[0] if masks else 1
+        dtype = A.dtype
+        chain_pos = {v: k for k, v in enumerate(layout.var_order)}
+        M = jnp.ones((m + 1, B, K), dtype=dtype)
+        for v, mk in masks.items():
+            M = M.at[chain_pos[v]].set(jnp.asarray(mk, dtype=dtype))
+
+        # per-step transition matrices T_k[b, p, q] = M_k[b, p] * A_k[p, q]
+        T = M[:-1, :, :, None] * A[:, None, :, :]  # [m, B, K, K]
+
+        def combine(x, y):
+            ax, sx = x
+            ay, sy = y
+            prod = jnp.einsum(
+                "...pq,...qr->...pr", ax, ay, precision="highest"
+            )
+            c = jnp.maximum(
+                jnp.max(prod, axis=(-2, -1), keepdims=True), _TINY
+            )
+            return prod / c, sx + sy + jnp.log(c[..., 0, 0])
+
+        zeros = jnp.zeros(T.shape[:2], dtype=dtype)
+        # forward prefixes: P_k = T_0 ... T_{k-1}; F_k = 1^T P_k
+        Pf, Sf = jax.lax.associative_scan(combine, (T, zeros), axis=0)
+        ones_row = jnp.ones((B, K), dtype=dtype)
+        F_tail = jnp.einsum(
+            "p,mbpq->mbq", jnp.ones((K,), dtype=dtype), Pf,
+            precision="highest",
+        )  # F_{k+1} for k=0..m-1
+        F = jnp.concatenate([ones_row[None], F_tail], axis=0)  # [m+1, B, K]
+        Foff = jnp.concatenate([jnp.zeros((1, B), dtype=dtype), Sf], axis=0)
+
+        # backward suffixes: Q_k = T'_k ... T'_{m-1} with
+        # T'_k[b,p,q] = A_k[p,q] * M_{k+1}[b,q].  NOTE: reverse=True
+        # associative_scan combines operands in REVERSED order
+        # (a[n-1] ⊕ ... ⊕ a[k]); swapping the combine restores the forward
+        # matrix-product order (verified empirically — see tests).
+        Tb = A[:, None, :, :] * M[1:, :, None, :]
+        Qb, Sb = jax.lax.associative_scan(
+            lambda x, y: combine(y, x), (Tb, zeros), axis=0, reverse=True
+        )
+        G_head = jnp.einsum(
+            "mbpq,q->mbp", Qb, jnp.ones((K,), dtype=dtype),
+            precision="highest",
+        )  # G_k for k=0..m-1
+        G = jnp.concatenate([G_head, ones_row[None]], axis=0)
+        Goff = jnp.concatenate([Sb, jnp.zeros((1, B), dtype=dtype)], axis=0)
+
+        post = F * M * G
+        post = post / jnp.maximum(
+            jnp.sum(post, axis=-1, keepdims=True), _TINY
+        )
+
+        zfin = jnp.sum(F[-1] * M[-1], axis=-1)
+        logz = (
+            jnp.where(zfin > 0, jnp.log(jnp.maximum(zfin, _TINY)), -jnp.inf)
+            + Foff[-1]
+        )
+        return post, logz
+
+    return fn
+
+
 def chain_viterbi_program(plan: Plan, layout: ChainLayout):
     """Exact MAP decoding on a uniform chain: log-space max forward scan
     with argmax bookkeeping + traceback scan (classic Viterbi), O(1)-size
