@@ -1,4 +1,4 @@
-from .bayesnet import alarm_like, hailfinder_like, insurance_like, random_bayesnet
+from .bayesnet import (alarm_like, banded_bayesnet, hailfinder_like, insurance_like, random_bayesnet)
 from .chain import chain_bn_model, star_bn_model
 from .grid import grid_mrf_model
 from .sprinkler import sprinkler_model
@@ -9,6 +9,7 @@ __all__ = [
     "chain_bn_model",
     "star_bn_model",
     "random_bayesnet",
+    "banded_bayesnet",
     "alarm_like",
     "insurance_like",
     "hailfinder_like",

@@ -46,6 +46,40 @@ def random_bayesnet(
     return factors, sizes, values
 
 
+def banded_bayesnet(
+    n_nodes: int,
+    band: int = 6,
+    max_parents: int = 2,
+    cards=(2, 3),
+    seed: int = 0,
+):
+    """Bounded-treewidth random BN: parents drawn only from the ``band``
+    immediately preceding nodes, so the moral graph has bandwidth <= band
+    and treewidth stays <= band regardless of scale — the realistic shape
+    for large networks where exact inference remains tractable (unbounded
+    random DAGs have treewidth Θ(n): an 800-node random_bayesnet hits
+    treewidth ~41 = 10^16-state cliques, infeasible for ANY exact engine)."""
+    rng = np.random.default_rng(seed)
+    names = [f"n{i}" for i in range(n_nodes)]
+    sizes: Dict[str, int] = {v: int(rng.choice(cards)) for v in names}
+    factors: List[List[str]] = []
+    values: List[np.ndarray] = []
+    for i, v in enumerate(names):
+        lo = max(0, i - band)
+        k = int(rng.integers(0, min(max_parents, i - lo) + 1))
+        parents = (
+            sorted(rng.choice(np.arange(lo, i), size=k, replace=False).tolist())
+            if k
+            else []
+        )
+        scope = [names[p] for p in parents] + [v]
+        factors.append(scope)
+        shape = tuple(sizes[x] for x in scope)
+        cpd = rng.random(shape) + 0.05
+        values.append(cpd / cpd.sum(axis=-1, keepdims=True))
+    return factors, sizes, values
+
+
 def alarm_like(seed: int = 0):
     """ALARM-class BN: 37 nodes, mixed cardinalities 2-4, max fan-in 3."""
     return random_bayesnet(37, max_parents=3, cards=(2, 2, 3, 4), seed=seed)

@@ -91,3 +91,34 @@ def test_grid_partition_function():
     # oracle logZ by brute force over 2^16 states
     (m,) = brute_force_marginals(factors, sizes, values, [[]])
     np.testing.assert_allclose(z, m, rtol=1e-5)
+
+
+def test_banded_bayesnet_scale():
+    """1000-var bounded-treewidth BN: tractable plan, correct local check."""
+    from junctiontree_tpu.models import banded_bayesnet
+
+    factors, sizes, values = banded_bayesnet(300, band=6, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    st = tree.stats()
+    assert st["treewidth"] <= 8
+    assert st["num_vars"] == 300
+    # proper BN: logZ = 0 with no evidence
+    eng = tree.engine().set_potentials(values)
+    post, logz = eng.posterior_batch({})
+    np.testing.assert_allclose(np.asarray(logz), 0.0, atol=1e-4)
+    for v in range(0, 300, 97):
+        np.testing.assert_allclose(
+            np.asarray(post[v]).sum(-1), 1.0, rtol=1e-5
+        )
+
+
+def test_infeasible_model_fails_fast():
+    """Unbounded random DAGs reach intractable treewidth; the engine must
+    refuse with a diagnostic instead of attempting a giant allocation."""
+    from junctiontree_tpu.models import random_bayesnet
+
+    factors, sizes, values = random_bayesnet(400, max_parents=2, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    if tree.stats()["max_clique_states"] > (1 << 28):
+        with pytest.raises(ValueError, match="infeasible for exact inference"):
+            tree.engine().set_potentials(values)
