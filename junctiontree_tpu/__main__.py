@@ -49,17 +49,29 @@ def main(argv=None) -> int:
 
     lines: list = []
     n_vars = len(sizes)
+    # a declared variable may appear in no factor scope (legal UAI input);
+    # it is uniform/free — state 0 for MPE, uniform for MAR
+    used = set(tree.plan.table.labels)
+    model_evidence = {k: v for k, v in evidence.items() if k in used}
     if args.task == "MPE":
         eng = tree.engine("max_product").set_potentials(values)
-        assign, logp = eng.map_assignment(evidence)
+        assign, logp = eng.map_assignment(model_evidence)
         lines.append("MPE")
         lines.append(
-            str(n_vars) + " " + " ".join(str(assign[v]) for v in range(n_vars))
+            str(n_vars)
+            + " "
+            + " ".join(
+                str(assign.get(v, evidence.get(v, 0))) for v in range(n_vars)
+            )
         )
         print("# log p = %.6f" % logp, file=sys.stderr)
     else:
         eng = tree.engine().set_potentials(values)
-        masks = batch_masks_sparse(tree.plan, [evidence]) if evidence else {}
+        masks = (
+            batch_masks_sparse(tree.plan, [model_evidence])
+            if model_evidence
+            else {}
+        )
         post, logz = eng.posterior_batch(masks)
         lz = float(np.asarray(logz)[0])
         if args.task == "PR":
@@ -69,8 +81,15 @@ def main(argv=None) -> int:
             lines.append("MAR")
             parts = [str(n_vars)]
             for v in range(n_vars):
-                vid = tree.plan.table.id_of(v)
-                p = np.asarray(post[vid])[0]
+                if v in used:
+                    vid = tree.plan.table.id_of(v)
+                    p = np.asarray(post[vid])[0]
+                else:
+                    card = sizes[v]
+                    p = np.full(card, 1.0 / card)
+                    if v in evidence:
+                        p = np.zeros(card)
+                        p[evidence[v]] = 1.0
                 parts.append(str(len(p)))
                 parts.extend("%.8f" % x for x in p)
             lines.append(" ".join(parts))

@@ -16,16 +16,12 @@ from typing import Optional, Tuple
 class Config:
     # numeric
     semiring: str = "sum_product"          # sum_product | log_sum_exp | max_product
-    dtype: str = "float32"                 # executor dtype on device
     matmul_precision: str = "highest"      # highest (f32 MXU) | default (bf16 passes)
 
     # compile
-    heuristic: str = "min_fill"            # elimination-order heuristic
+    heuristic: str = "min_fill"            # min_fill | min_degree | min_weight | portfolio[N]
+    backend: str = "auto"                  # auto | python | native (C++ compiler)
     root: Optional[int] = None             # clique to root the tree at
-
-    # parallel
-    batch_axis: str = "batch"
-    model_axis: str = "model"
 
     # big-clique path: clique state-space size above which contractions go
     # through the Pallas streaming kernel instead of plain einsum
@@ -37,6 +33,27 @@ class Config:
 
         set_matmul_precision(self.matmul_precision)
         return self
+
+    # one-stop constructors honoring every knob
+    def compile(self, factors, sizes):
+        """compile_plan with this config's heuristic/backend/root."""
+        from .schedule import compile_plan
+
+        self.apply()
+        return compile_plan(
+            factors, sizes,
+            root=self.root, backend=self.backend, heuristic=self.heuristic,
+        )
+
+    def engine(self, factors, sizes, values=None):
+        """Plan + Engine (with this config's semiring); values optional."""
+        from .executor import Engine
+        from .ops.semirings import SEMIRINGS
+
+        eng = Engine(self.compile(factors, sizes), SEMIRINGS[self.semiring])
+        if values is not None:
+            eng.set_potentials(values)
+        return eng
 
 
 DEFAULT = Config()

@@ -84,6 +84,7 @@ def evaluate_cliques(
 
     ``factor_values`` are in the semiring's space already (use
     ``semiring.from_linear`` at the boundary)."""
+    check_feasible(plan)
     if len(factor_values) != len(plan.factors):
         raise ValueError(
             "expected %d factor value arrays, got %d"
@@ -641,6 +642,8 @@ class Engine:
         self._batched_cache: Dict[tuple, "jax.stages.Wrapped"] = {}
         self._chain: Optional[tuple] = None  # lazy ChainLayout cache
         self._chain_A = None                 # prestacked chain transitions
+        self._fused_stack = None             # prestacked fused group pots
+        self._max_engine: Optional["Engine"] = None  # cached MAP delegate
         self._pots_np: Optional[List[np.ndarray]] = None
 
     def _chain_layout(self):
@@ -671,7 +674,12 @@ class Engine:
         # device_put canonicalizes float64 -> float32 unless jax_enable_x64
         self._pots_np = pots
         self._pots = [jax.device_put(p) for p in pots]
+        # invalidate every prestacked artifact derived from the potentials
+        # (cached programs re-read these lazily, so stale stacks would
+        # silently serve results from the OLD potentials)
         self._chain_A = None
+        self._fused_stack = None
+        self._max_engine = None
         return self
 
     def _require_pots(self):
@@ -786,25 +794,25 @@ class Engine:
         if self._pots_np is None:
             raise RuntimeError("call set_potentials(values) first")
         ids, masks = self._masks_to_program_args(mask_batch)
+        from .fused import (
+            FusedPosteriors,
+            build_fused_schedule,
+            fused_posterior_program,
+            stack_group_potentials,
+        )
+
+        if getattr(self, "_fused_sched", None) is None:
+            self._fused_sched = build_fused_schedule(self.plan)
+        # the cached program reads the stack via the holder, so rebuild it
+        # (outside the cache-miss branch) whenever set_potentials reset it
+        if self._fused_stack is None:
+            self._fused_stack = jax.tree_util.tree_map(
+                jax.device_put,
+                stack_group_potentials(self._fused_sched[0], self._pots_np),
+            )
         key = ("fused", ids)
         fn = self._batched_cache.get(key)
         if fn is None:
-            from .fused import (
-                FusedPosteriors,
-                build_fused_schedule,
-                fused_posterior_program,
-                stack_group_potentials,
-            )
-
-            if getattr(self, "_fused_sched", None) is None:
-                self._fused_sched = build_fused_schedule(self.plan)
-            if getattr(self, "_fused_stack", None) is None:
-                self._fused_stack = jax.tree_util.tree_map(
-                    jax.device_put,
-                    stack_group_potentials(
-                        self._fused_sched[0], self._pots_np
-                    ),
-                )
             sched, sorted_children = self._fused_sched
             prog = fused_posterior_program(sched, sorted_children, list(ids))
             jfn = jax.jit(prog)
@@ -872,10 +880,6 @@ class Engine:
                 )
 
                 layout = self._chain_layout()
-                if self._chain_A is None:
-                    self._chain_A = jax.device_put(
-                        stack_chain_potentials(layout, self._pots_np)
-                    )
                 prog = chain_posterior_program(self.plan, layout)
                 id_list = list(ids)
                 jfn = jax.jit(
@@ -884,6 +888,12 @@ class Engine:
                 A_holder = self
 
                 def posterior_fn(pots, masks, _jfn=jfn, _lay=layout):
+                    # rebuild the prestacked transitions if set_potentials
+                    # reset them (the program itself is evergreen)
+                    if A_holder._chain_A is None:
+                        A_holder._chain_A = jax.device_put(
+                            stack_chain_potentials(_lay, A_holder._pots_np)
+                        )
                     stacked, logz = _jfn(A_holder._chain_A, masks)
                     return StackedPosteriors(stacked, _lay.var_order), logz
 
@@ -946,13 +956,7 @@ class Engine:
         The reference anticipated max-product but never implemented it
         (sum_product.py:7-8); this completes that surface."""
         if self.semiring.name != "max_product":
-            eng = Engine(self.plan, MAX_PRODUCT)
-            if self._pots_np is None:
-                raise RuntimeError("call set_potentials(values) first")
-            eng._pots_np = [np.log(np.maximum(p, 1e-300)) for p in self._pots_np] \
-                if not self.semiring.is_log else list(self._pots_np)
-            eng._pots = [jax.device_put(p) for p in eng._pots_np]
-            return eng.map_assignment(evidence)
+            return self._max_delegate().map_assignment(evidence)
 
         plan = self.plan
         evidence = dict(evidence or {})
@@ -971,9 +975,11 @@ class Engine:
                     lambda A, ms: prog(A, ms), static_argnames=()
                 )
                 self._batched_cache[key] = fn
-            logA = jax.device_put(
-                stack_chain_potentials(layout, self._pots_np)
-            )  # max_product pots are already log-space
+            if self._chain_A is None:
+                self._chain_A = jax.device_put(
+                    stack_chain_potentials(layout, self._pots_np)
+                )  # max_product pots are already log-space
+            logA = self._chain_A
             logmasks = {}
             for label, state in evidence.items():
                 v = plan.table.id_of(label)
@@ -1036,16 +1042,7 @@ class Engine:
         (0 / -inf).  Returns (assignments [B, num_vars] int32, scores [B]).
         Non-chain plans raise (use ``map_assignment`` per query)."""
         if self.semiring.name != "max_product":
-            eng = Engine(self.plan, MAX_PRODUCT)
-            if self._pots_np is None:
-                raise RuntimeError("call set_potentials(values) first")
-            eng._pots_np = (
-                list(self._pots_np)
-                if self.semiring.is_log
-                else [np.log(np.maximum(p, 1e-300)) for p in self._pots_np]
-            )
-            eng._pots = [jax.device_put(p) for p in eng._pots_np]
-            return eng.map_assignment_batch(mask_batch)
+            return self._max_delegate().map_assignment_batch(mask_batch)
         layout = self._chain_layout()
         if layout is None:
             raise ValueError(
@@ -1060,7 +1057,11 @@ class Engine:
             prog = chain_viterbi_program(self.plan, layout)
             fn = jax.jit(lambda A, ms: prog(A, ms))
             self._batched_cache[key] = fn
-        logA = jax.device_put(stack_chain_potentials(layout, self._pots_np))
+        if self._chain_A is None:
+            self._chain_A = jax.device_put(
+                stack_chain_potentials(layout, self._pots_np)
+            )
+        logA = self._chain_A
         logmasks = {
             self.plan.table.id_of(k): jnp.asarray(v)
             for k, v in mask_batch.items()
@@ -1071,6 +1072,22 @@ class Engine:
             )
         assign, score = fn(logA, logmasks)
         return np.asarray(assign), np.asarray(score)
+
+    def _max_delegate(self) -> "Engine":
+        """Cached max-product sibling engine for MAP queries from non-MAP
+        engines (building one per call would recompile Viterbi each time)."""
+        if self._pots_np is None:
+            raise RuntimeError("call set_potentials(values) first")
+        if self._max_engine is None:
+            eng = Engine(self.plan, MAX_PRODUCT)
+            eng._pots_np = (
+                list(self._pots_np)
+                if self.semiring.is_log
+                else [np.log(np.maximum(p, 1e-300)) for p in self._pots_np]
+            )
+            eng._pots = [jax.device_put(p) for p in eng._pots_np]
+            self._max_engine = eng
+        return self._max_engine
 
     def score_assignment(self, assignment: Dict[Hashable, int]) -> float:
         """log of the unnormalized joint value at a full assignment."""

@@ -45,14 +45,23 @@ def empirical_marginals(
     return out
 
 
+def _logz(plan: Plan, thetas: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """logZ via rescaled linear-space propagation (stable at any model
+    size; plain linear Z over/underflows float32 beyond ~100 variables)."""
+    from .executor import batched_propagate_program
+
+    prog = batched_propagate_program(plan, observed=[], rescale=True)
+    vals = [jnp.exp(t) for t in thetas]
+    pots = evaluate_cliques(plan, vals)
+    _, logz = prog(pots, [])
+    return logz[0]
+
+
 def log_likelihood(plan: Plan, thetas: Sequence[jnp.ndarray],
                    emp: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Average complete-data log-likelihood under log-potentials theta."""
     lin = sum(jnp.vdot(m, t) for m, t in zip(emp, thetas))
-    vals = [jnp.exp(t) for t in thetas]
-    pots = evaluate_cliques(plan, vals)
-    beliefs, _ = propagate_cliques(plan, pots)
-    return lin - jnp.log(partition(plan, beliefs))
+    return lin - _logz(plan, thetas)
 
 
 def fit_mle(

@@ -57,7 +57,9 @@ def _kernel_flags() -> Tuple[bool, bool]:
         return False, False
     if mode == "interpret":
         return True, True
-    return jax.default_backend() not in ("cpu",), False
+    # Mosaic kernels lower only on TPU backends ("tpu", or this
+    # environment's tunnelled "axon" platform) — NOT on GPU
+    return jax.default_backend() in ("tpu", "axon"), False
 
 
 def reference_factored_contract(

@@ -121,7 +121,16 @@ class ForestEngine:
         posteriors: Dict[Hashable, np.ndarray] = {}
         logz = np.zeros(B)
         for eng, (post, lz) in results:
-            logz = logz + np.asarray(lz)
+            lz = np.asarray(lz)
+            # an evidence-free component runs with an implicit batch of 1;
+            # broadcast its (identical) results to the full batch so the
+            # documented [B, size_v] contract holds for every variable
+            if lz.shape[0] != B:
+                lz = np.broadcast_to(lz, (B,))
+            logz = logz + lz
             for v in range(eng.plan.num_vars):
-                posteriors[eng.plan.table.label_of(v)] = np.asarray(post[v])
+                m = np.asarray(post[v])
+                if m.shape[0] != B:
+                    m = np.broadcast_to(m, (B,) + m.shape[1:])
+                posteriors[eng.plan.table.label_of(v)] = m
         return posteriors, logz

@@ -17,13 +17,21 @@ def parse_uai(text: str):
 
     Variable labels are the UAI variable indices (ints).  Factor tables are
     row-major over the declared scope order, matching the spec."""
-    tokens = text.split()
+    # strip comments LINE-wise before tokenizing ('#'/'//' to end of line) —
+    # token-level skipping would inject the rest of a multi-word comment
+    # into the value stream
+    lines = []
+    for line in text.splitlines():
+        for marker in ("#", "//"):
+            ix = line.find(marker)
+            if ix >= 0:
+                line = line[:ix]
+        lines.append(line)
+    tokens = "\n".join(lines).split()
     pos = 0
 
     def take() -> str:
         nonlocal pos
-        while tokens[pos].startswith(("#", "//")):
-            pos += 1
         t = tokens[pos]
         pos += 1
         return t

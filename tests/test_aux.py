@@ -191,3 +191,34 @@ def test_mask_batch_validation():
         )
     with pytest.raises(ValueError, match="must be \\[B, 3\\]"):
         eng.posterior_batch({"b": np.ones((4, 2), np.float32)})
+
+
+def test_config_compile_and_engine():
+    from junctiontree_tpu.config import Config
+
+    factors, sizes = grid_mrf(2, 3)
+    values = random_values(factors, sizes, seed=3)
+    eng = Config(semiring="log_sum_exp", heuristic="portfolio4").engine(
+        factors, sizes, values
+    )
+    assert eng.semiring.name == "log_sum_exp"
+    post, logz = eng.posterior_batch({})
+    (z,) = brute_force_marginals(factors, sizes, values, [[]])
+    np.testing.assert_allclose(float(np.asarray(logz)[0]), np.log(z), rtol=1e-5)
+
+
+def test_uai_multiword_comments():
+    from junctiontree_tpu.utils.uai import parse_uai
+
+    text = """# grid model 2 vars demo
+MARKOV
+2   // two variables here
+2 2
+1
+2 0 1
+4
+0.1 0.2 0.3 0.4  # row-major table
+"""
+    factors, sizes, values = parse_uai(text)
+    assert factors == [[0, 1]]
+    np.testing.assert_allclose(values[0], [[0.1, 0.2], [0.3, 0.4]])

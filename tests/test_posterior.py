@@ -106,3 +106,52 @@ def test_posterior_batch_max_product():
     for i, v in enumerate(var_list):
         vid = tree.plan.table.id_of(v)
         assert np.argmax(np.asarray(post[vid])[0]) == np.argmax(expect[i])
+
+
+def test_set_potentials_invalidates_cached_paths():
+    """Updating potentials must refresh every prestacked artifact (chain
+    transitions, fused stacks, MAP delegate) — regression for stale-cache
+    bugs found in review."""
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.models import chain_bn_model, star_bn_model
+
+    # chain path: second set_potentials must neither crash nor serve stale
+    factors, sizes, v1 = chain_bn_model(10, seed=1)
+    _, _, v2 = chain_bn_model(10, seed=2)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(v1)
+    masks = batch_masks_sparse(tree.plan, [{"x9": 1}])
+    p1, z1 = eng.posterior_batch(masks)
+    a1 = np.asarray(p1[0])
+    eng.set_potentials(v2)
+    p2, z2 = eng.posterior_batch(masks)
+    fresh = tree.engine("log_sum_exp")  # unrelated; just exercise engines
+    eng_fresh = jt.Engine(tree.plan).set_potentials(v2)
+    p3, z3 = eng_fresh.posterior_batch(batch_masks_sparse(tree.plan, [{"x9": 1}]))
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z3), rtol=1e-6)
+    assert not np.allclose(np.asarray(p2[0]), a1)
+
+    # fused path
+    factors, sizes, v1 = star_bn_model(40, seed=1)
+    _, _, v2 = star_bn_model(40, seed=5)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(v1)
+    masks = batch_masks_sparse(tree.plan, [{"leaf0": 1}])
+    p1, z1 = eng.posterior_batch(masks)
+    hub1 = np.asarray(p1[tree.plan.table.id_of("hub")]).copy()
+    eng.set_potentials(v2)
+    p2, z2 = eng.posterior_batch(masks)
+    eng_fresh = jt.Engine(tree.plan).set_potentials(v2)
+    p3, z3 = eng_fresh.posterior_batch(batch_masks_sparse(tree.plan, [{"leaf0": 1}]))
+    np.testing.assert_allclose(
+        np.asarray(p2[tree.plan.table.id_of("hub")]),
+        np.asarray(p3[tree.plan.table.id_of("hub")]),
+        rtol=1e-6,
+    )
+    assert not np.allclose(np.asarray(p2[tree.plan.table.id_of("hub")]), hub1)
+
+    # MAP delegate refresh
+    a_old, s_old = eng_fresh.map_assignment()
+    eng_fresh.set_potentials(v1)
+    a_new, s_new = eng_fresh.map_assignment()
+    assert not np.isclose(s_old, s_new)
