@@ -27,11 +27,20 @@ class Config:
     # through the Pallas streaming kernel instead of plain einsum
     pallas_min_states: int = 1 << 17
 
+    # persistent XLA compilation cache directory.  Large irregular models
+    # (e.g. min-fill 12x12 grids) can take minutes of XLA compile; with a
+    # cache dir set, that cost is paid once per (model, batch shape) per
+    # machine — subsequent processes deserialize the compiled executable.
+    compilation_cache_dir: Optional[str] = None
+
     def apply(self) -> "Config":
-        """Push process-wide knobs (MXU precision) into effect."""
+        """Push process-wide knobs (MXU precision, compile cache) into
+        effect."""
         from .ops.semirings import set_matmul_precision
 
         set_matmul_precision(self.matmul_precision)
+        if self.compilation_cache_dir is not None:
+            enable_compilation_cache(self.compilation_cache_dir)
         return self
 
     # one-stop constructors honoring every knob
@@ -54,6 +63,28 @@ class Config:
         if values is not None:
             eng.set_potentials(values)
         return eng
+
+
+def enable_compilation_cache(path: str) -> None:
+    """Turn on JAX's persistent compilation cache rooted at ``path``.
+
+    Compiled XLA executables are written to disk keyed by (program, shapes,
+    compiler version); re-running the same model skips XLA compilation
+    entirely.  This is the production answer to the reference's per-process
+    recompile cost (the reference has no compiled artifact at all — its
+    "compile" is the in-memory tree, /root/reference/junctiontree/
+    junctiontree.py:277-294); here both the host plan (Plan.to_json) and the
+    device executable persist."""
+    import os
+
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even fast compiles: the win is cross-process determinism, and
+    # entries are cheap relative to model potentials
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 DEFAULT = Config()

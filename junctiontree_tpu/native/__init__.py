@@ -115,45 +115,52 @@ def native_compile(
     if not res:
         return None
     try:
+        # marshal with bulk ndarray.tolist() (C-speed) rather than per-int
+        # Python loops — at 200k vars this is the difference between ~1.6 s
+        # and ~0.1 s of overhead on top of the 0.2 s native compile
         r = res.contents
         n = r.num_cliques
         co = np.ctypeslib.as_array(r.clique_offsets, shape=(n + 1,))
-        cv = np.ctypeslib.as_array(r.clique_vars, shape=(max(int(co[n]), 1),))
+        cv_list = np.ctypeslib.as_array(
+            r.clique_vars, shape=(max(int(co[n]), 1),)
+        ).tolist()
+        co_list = co.tolist()
         maxcliques = [
-            [int(x) for x in cv[co[c]:co[c + 1]]] for c in range(n)
+            cv_list[co_list[c]:co_list[c + 1]] for c in range(n)
         ]
-        f2c = [
-            int(x)
-            for x in np.ctypeslib.as_array(
-                r.factor_to_clique, shape=(max(len(int_factors), 1),)
-            )[: len(int_factors)]
-        ]
-        elim = [
-            int(x)
-            for x in np.ctypeslib.as_array(
-                r.elim_order, shape=(max(num_vars, 1),)
-            )[:num_vars]
-        ]
+        f2c = np.ctypeslib.as_array(
+            r.factor_to_clique, shape=(max(len(int_factors), 1),)
+        )[: len(int_factors)].tolist()
+        elim = np.ctypeslib.as_array(
+            r.elim_order, shape=(max(num_vars, 1),)
+        )[:num_vars].tolist()
         nf = int(r.num_fill_edges)
-        fe_arr = np.ctypeslib.as_array(
-            r.fill_edges, shape=(max(2 * nf, 1),)
+        fill_edges = list(
+            map(
+                tuple,
+                np.ctypeslib.as_array(r.fill_edges, shape=(max(2 * nf, 1),))[
+                    : 2 * nf
+                ].reshape(nf, 2).tolist(),
+            )
         )
-        fill_edges = [
-            (int(fe_arr[2 * i]), int(fe_arr[2 * i + 1])) for i in range(nf)
-        ]
         ns = int(r.num_seps)
-        so = np.ctypeslib.as_array(r.sep_offsets, shape=(ns + 1,))
-        sv = np.ctypeslib.as_array(
-            r.sep_vars, shape=(max(int(so[ns]), 1),)
-        )
+        so_list = np.ctypeslib.as_array(
+            r.sep_offsets, shape=(ns + 1,)
+        ).tolist()
+        sv_list = np.ctypeslib.as_array(
+            r.sep_vars, shape=(max(so_list[ns], 1),)
+        ).tolist()
         separators = [
-            [int(x) for x in sv[so[s]:so[s + 1]]] for s in range(ns)
+            sv_list[so_list[s]:so_list[s + 1]] for s in range(ns)
         ]
-        ed = np.ctypeslib.as_array(r.edges, shape=(max(3 * ns, 1),))
-        edges = [
-            (int(ed[3 * i]), int(ed[3 * i + 1]), int(ed[3 * i + 2]))
-            for i in range(ns)
-        ]
+        edges = list(
+            map(
+                tuple,
+                np.ctypeslib.as_array(r.edges, shape=(max(3 * ns, 1),))[
+                    : 3 * ns
+                ].reshape(ns, 3).tolist(),
+            )
+        )
         return {
             "maxcliques": maxcliques,
             "factor_to_maxclique": f2c,

