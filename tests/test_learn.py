@@ -8,8 +8,13 @@ import pytest
 import junctiontree_tpu as jt
 from junctiontree_tpu.learn import (
     empirical_marginals,
+    expected_counts,
+    fit_em,
     fit_mle,
+    fit_mle_missing,
     log_likelihood,
+    marginal_log_likelihood,
+    masks_from_data,
     model_marginals,
 )
 from junctiontree_tpu.sampling import engine_sample
@@ -70,3 +75,121 @@ def test_loglik_of_truth_beats_uniform():
         )
     )
     assert ll_truth > ll_unif
+
+
+def _cpd_chain(n, card=2, seed=0):
+    """Chain BN with proper CPD values (child = last axis)."""
+    factors, sizes = chain_bn(n, card)
+    rng = np.random.default_rng(seed)
+    values = []
+    for f in factors:
+        shape = tuple(sizes[v] for v in f)
+        t = rng.random(shape) + 0.2
+        values.append(t / t.sum(axis=-1, keepdims=True))
+    return factors, sizes, values
+
+
+def test_masks_from_data_and_marginal_loglik():
+    factors, sizes, values = _cpd_chain(3, seed=11)
+    tree = jt.create_junction_tree(factors, sizes)
+    plan = tree.plan
+    data = np.array([[0, 1, -1], [1, -1, 0]])
+    masks = masks_from_data(plan, data)
+    assert masks[plan.table.id_of("x2")].tolist()[0] == [1.0, 1.0]
+    assert masks[plan.table.id_of("x0")][0].tolist() == [1.0, 0.0]
+    # marginal loglik of proper CPDs = mean log p(observed)
+    import jax.numpy as jnp
+
+    thetas = [jnp.log(jnp.asarray(v)) for v in values]
+    got = float(marginal_log_likelihood(plan, thetas, masks))
+    # brute force: enumerate the joint
+    joint = np.einsum("a,ab,bc->abc", *values)
+    p0 = joint[0, 1, :].sum()
+    p1 = joint[1, :, 0].sum()
+    np.testing.assert_allclose(got, np.mean(np.log([p0, p1])), rtol=1e-5)
+
+
+def test_expected_counts_complete_data_are_empirical():
+    """With fully observed data, E[phi|x] is the indicator, so expected
+    counts = N * empirical tables regardless of the model parameters."""
+    factors, sizes, values = _cpd_chain(4, seed=3)
+    tree = jt.create_junction_tree(factors, sizes)
+    plan = tree.plan
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 2, size=(50, plan.num_vars))
+    import jax.numpy as jnp
+
+    masks = [jnp.asarray(m) for m in masks_from_data(plan, data)]
+    counts = expected_counts(plan, values, masks)
+    emp = empirical_marginals(plan, data)
+    for c, e in zip(counts, emp):
+        np.testing.assert_allclose(c, 50 * e, atol=1e-6)
+
+
+def test_fit_em_complete_data_is_counting():
+    """EM on complete data converges in one step to the count CPDs."""
+    factors, sizes, values = _cpd_chain(3, seed=7)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    import jax
+
+    data = engine_sample(eng, jax.random.PRNGKey(0), 500)
+    plan = tree.plan
+    learned, hist = fit_em(plan, data, steps=3, smoothing=0.0)
+    emp = empirical_marginals(plan, data)
+    # learned CPD = empirical conditional (counts normalized on child axis)
+    for lv, e in zip(learned, emp):
+        cond = e / np.maximum(e.sum(axis=-1, keepdims=True), 1e-12)
+        np.testing.assert_allclose(lv, cond, atol=1e-9)
+    # complete-data EM: loglik constant after the first M-step
+    np.testing.assert_allclose(hist[1], hist[2], atol=1e-9)
+
+
+def test_fit_em_hidden_variable_monotone():
+    """EM with a latent variable: marginal loglik is monotone and improves."""
+    factors, sizes, values = _cpd_chain(3, seed=21)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    import jax
+
+    data = np.array(engine_sample(eng, jax.random.PRNGKey(5), 800))
+    plan = tree.plan
+    hidden = plan.table.id_of("x1")
+    data[:, hidden] = -1  # x1 never observed
+    learned, hist = fit_em(plan, data, steps=25, smoothing=1e-6, seed=4)
+    assert hist[-1] > hist[0]
+    diffs = np.diff(hist)
+    assert np.all(diffs > -1e-7), f"EM not monotone: {diffs.min()}"
+    # learned model reproduces the observable joint p(x0, x2)
+    eng2 = jt.create_junction_tree(factors, sizes).engine().set_potentials(
+        learned
+    )
+    joint_true = np.einsum("a,ab,bc->ac", *values)
+    joint_fit = np.einsum("a,ab,bc->ac", *learned)
+    np.testing.assert_allclose(joint_fit, joint_true, atol=0.05)
+
+
+def test_fit_mle_missing_improves_and_matches_complete():
+    factors, sizes = grid_mrf(2, 2)
+    values = random_values(factors, sizes, seed=9)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    import jax
+
+    data = np.asarray(engine_sample(eng, jax.random.PRNGKey(2), 1500))
+    rng = np.random.default_rng(1)
+    miss = rng.random(data.shape) < 0.3
+    data_missing = np.where(miss, -1, data)
+    plan = tree.plan
+    thetas, hist = fit_mle_missing(
+        plan, data_missing, steps=150, learning_rate=0.05
+    )
+    assert hist[-1] > hist[0]
+    # fitted observable marginals close to the truth's (sampling + missing
+    # noise -> loose tolerance)
+    fitted = model_marginals(plan, thetas)
+    truth = model_marginals(
+        plan, [np.log(np.asarray(v)) for v in values]
+    )
+    for f_m, t_m in zip(fitted, truth):
+        np.testing.assert_allclose(f_m, t_m, atol=0.07)
