@@ -381,9 +381,11 @@ def _bcontract(semiring, operands, operand_vars, out_vars):
 
 
 def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
-    """Route a collect/marginal contraction through the Pallas factored-mask
-    kernel when the clique is large enough and every batched operand is a
-    single-variable mask (evidence).  Returns the [B, ...] result or None."""
+    """Route a collect/distribute/marginal contraction through the Pallas
+    factored-weight kernel when the clique is large enough and every batched
+    operand is either a single-variable mask (evidence) or a child message
+    whose scope doesn't cross the output-separator boundary.  Returns the
+    [B, ...] result or None."""
     if semiring.name != "sum_product":
         return None
     from .ops.pallas_contract import _kernel_flags, big_clique_sep_message
@@ -392,15 +394,17 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
     if not use:
         return None
     batched: List[tuple] = []
+    msgs: List[tuple] = []
     unbatched: List[tuple] = []
     for o, v in zip(ops, ovs):
         if v and v[0] == BATCH:
-            if len(v) != 2:
-                return None  # batched multi-var operand (message) — no route
-            batched.append((o, v[1]))
+            if len(v) == 2:
+                batched.append((o, v[1]))
+            else:
+                msgs.append((tuple(v[1:]), o))
         else:
             unbatched.append((o, list(v)))
-    if not batched or not unbatched:
+    if not (batched or msgs) or not unbatched:
         return None
     scope: List[int] = []
     for _, v in unbatched:
@@ -411,6 +415,15 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
         return None
     if any(x not in scope for _, x in batched):
         return None
+    out_set = set(out_vars)
+    for vs, _ in msgs:
+        if any(x not in scope for x in vs):
+            return None
+        # a message must factor entirely into the kernel weights (rest
+        # scope) or entirely into the output (separator scope)
+        if not (all(x in out_set for x in vs)
+                or all(x not in out_set for x in vs)):
+            return None
     states = 1
     for x in scope:
         states *= plan.sizes[x]
@@ -427,7 +440,7 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
     for o, x in batched:
         masks[x] = o if x not in masks else masks[x] * o
     return big_clique_sep_message(
-        pot, scope, masks, list(out_vars), interpret=interp
+        pot, scope, masks, list(out_vars), msgs=msgs, interpret=interp
     )
 
 

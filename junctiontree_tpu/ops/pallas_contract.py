@@ -208,64 +208,169 @@ def build_weight_groups(
     return outer(g1), outer(g2), g1, g2
 
 
+_BATCH = -1  # local batch pseudo-label for einsum subscripts
+
+
+def _contract_items(items, out_vars, B, sizes):
+    """Product of batched items ([B, *shape] over vars) broadcast onto
+    [B, *out_vars] — a small einsum (item scopes are separators/masks)."""
+    from .semirings import SUM_PRODUCT
+
+    ops = [t for _, t in items]
+    ovs = [[_BATCH] + list(vs) for vs, _ in items]
+    covered = {v for vs, _ in items for v in vs}
+    missing = [v for v in out_vars if v not in covered]
+    if missing:
+        ops.append(
+            jnp.ones(tuple(sizes[v] for v in missing), dtype=ops[0].dtype)
+        )
+        ovs.append(list(missing))
+    out = SUM_PRODUCT.contract(ops, ovs, [_BATCH] + list(out_vars))
+    return out.reshape(B, -1)
+
+
+def _group_items(items, sizes):
+    """Partition batched items into two weight groups.
+
+    Items sharing variables are merged into components (their product cannot
+    be split across the two kernel operands); components are then balanced
+    greedily by log-state-space so both group weights stay ~sqrt(R)-sized.
+    Returns (g1_items, g1_vars, g2_items, g2_vars)."""
+    # union-find over items sharing variables
+    parent = list(range(len(items)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    var_owner: dict = {}
+    for i, (vs, _) in enumerate(items):
+        for v in vs:
+            if v in var_owner:
+                parent[find(i)] = find(var_owner[v])
+            else:
+                var_owner[v] = i
+    roots: List[int] = []
+    comps: List[List[int]] = []
+    comp_vars: List[List[int]] = []
+    root_ix: dict = {}
+    for i, (vs, _) in enumerate(items):
+        r = find(i)
+        if r not in root_ix:
+            root_ix[r] = len(comps)
+            roots.append(r)
+            comps.append([])
+            comp_vars.append([])
+        ci = root_ix[r]
+        comps[ci].append(i)
+        for v in vs:
+            if v not in comp_vars[ci]:
+                comp_vars[ci].append(v)
+    weights = [
+        sum(np.log(sizes[v]) for v in cv) for cv in comp_vars
+    ]
+    order = np.argsort(weights)[::-1]
+    g1: List[int] = []
+    g2: List[int] = []
+    s1 = s2 = 0.0
+    for ci in order:
+        if s1 <= s2:
+            g1.append(int(ci))
+            s1 += weights[ci]
+        else:
+            g2.append(int(ci))
+            s2 += weights[ci]
+    g1_items = [items[i] for ci in g1 for i in comps[ci]]
+    g1_vars = [v for ci in g1 for v in comp_vars[ci]]
+    g2_items = [items[i] for ci in g2 for i in comps[ci]]
+    g2_vars = [v for ci in g2 for v in comp_vars[ci]]
+    return g1_items, g1_vars, g2_items, g2_vars
+
+
 def big_clique_sep_message(
     pot: jnp.ndarray,
     clique_vars: Sequence[int],
     masks: dict,
     sep_vars: Sequence[int],
     *,
+    msgs: Sequence[Tuple[Sequence[int], jnp.ndarray]] = (),
     interpret: bool = False,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """Collect message from a (large) clique to its separator under batched
-    per-variable evidence masks.
+    """Collect/distribute message from a (large) clique to its separator
+    under batched evidence masks and batched child messages.
 
     pot: unbatched clique potential, axes = clique_vars order.
-    masks: {var id: [B, size_v]} for observed vars (must be a subset of
-    clique_vars; vars in sep_vars are applied post-contraction).
+    masks: {var id: [B, size_v]} for observed vars (subset of clique_vars).
+    msgs: batched multi-variable operands (child separator messages), each
+    (vars, tensor [B, *shape]); every message's vars must lie entirely inside
+    sep_vars or entirely outside (messages crossing the separator boundary
+    can't be factored — callers fall back to XLA einsum).
+    Masks/messages scoped inside sep_vars are applied post-contraction.
     Returns [B, *sep_shape]."""
     cset = list(clique_vars)
     sset = list(sep_vars)
     rest = [v for v in cset if v not in sset]
+    rest_set = set(rest)
+    sep_set = set(sset)
     # permute pot to (rest..., sep...)
     perm = [cset.index(v) for v in rest + sset]
     p = jnp.transpose(pot, perm)
     R = int(np.prod([p.shape[i] for i in range(len(rest))])) if rest else 1
     C = int(np.prod(p.shape[len(rest):])) if sset else 1
     sep_shape = p.shape[len(rest):]
+    sizes = {v: pot.shape[cset.index(v)] for v in cset}
 
-    rest_masks = [masks[v] for v in rest if v in masks]
-    rest_mask_vars = [v for v in rest if v in masks]
-    sep_masks = {v: masks[v] for v in sset if v in masks}
+    # split batched operands into rest-scoped items (folded into the kernel
+    # weight groups) and sep-scoped items (applied to the output)
+    items: List[Tuple[Tuple[int, ...], jnp.ndarray]] = []
+    sep_items: List[Tuple[Tuple[int, ...], jnp.ndarray]] = []
+    for v in cset:
+        if v in masks:
+            t = ((v,), masks[v])
+            (items if v in rest_set else sep_items).append(t)
+    for vs, t in msgs:
+        vs = tuple(vs)
+        if all(v in rest_set for v in vs):
+            items.append((vs, t))
+        elif all(v in sep_set for v in vs):
+            sep_items.append((vs, t))
+        else:
+            raise ValueError(
+                f"message scope {vs} crosses the separator boundary"
+            )
 
     B = None
-    for m in masks.values():
-        B = m.shape[0]
+    for _, t in items + sep_items:
+        B = t.shape[0]
         break
     if B is None:
-        raise ValueError("need at least one mask to define the batch")
+        raise ValueError("need at least one batched operand")
 
-    # factor rest-axis weights: observed rest vars contribute their masks,
-    # unobserved rest vars broadcast (handled by axis expansion below)
-    if rest_mask_vars:
-        w1, w2, g1, g2 = build_weight_groups(rest_masks)
-        # build full [B, R] group weights by broadcasting over unobserved
-        # rest axes — done *per group* so each stays ~sqrt(R)-sized:
-        # reorder rest axes as (group1 observed, group2 observed, unobserved)
-        g1_vars = [rest_mask_vars[i] for i in g1]
-        g2_vars = [rest_mask_vars[i] for i in g2]
-        un_vars = [v for v in rest if v not in masks]
+    if items:
+        g1_items, g1_vars, g2_items, g2_vars = _group_items(items, sizes)
+        un_vars = [v for v in rest if v not in set(g1_vars) | set(g2_vars)]
         new_rest = g1_vars + g2_vars + un_vars
         perm2 = [rest.index(v) for v in new_rest] + list(
             range(len(rest), p.ndim)
         )
         p = jnp.transpose(p, perm2)
-        R1 = int(np.prod([pot.shape[cset.index(v)] for v in g1_vars])) or 1
-        R2 = int(
-            np.prod([pot.shape[cset.index(v)] for v in g2_vars + un_vars])
-        ) or 1
-        # w2 broadcast over unobserved axes
-        n_un = int(np.prod([pot.shape[cset.index(v)] for v in un_vars])) or 1
+        R1 = int(np.prod([sizes[v] for v in g1_vars])) or 1
+        R2 = int(np.prod([sizes[v] for v in g2_vars + un_vars])) or 1
+        w1 = (
+            _contract_items(g1_items, g1_vars, B, sizes)
+            if g1_items
+            else jnp.ones((B, 1), dtype=pot.dtype)
+        )
+        w2 = (
+            _contract_items(g2_items, g2_vars, B, sizes)
+            if g2_items
+            else jnp.ones((B, 1), dtype=pot.dtype)
+        )
+        # w2 broadcast over uncovered rest axes
+        n_un = int(np.prod([sizes[v] for v in un_vars])) or 1
         if n_un > 1:
             w2 = jnp.repeat(w2[:, :, None], n_un, axis=2).reshape(B, -1)
         p3 = p.reshape(R1, R2, C)
@@ -281,11 +386,14 @@ def big_clique_sep_message(
         out = reference_factored_contract(p3, w1, w2)
     out = out.reshape((B,) + tuple(sep_shape))
 
-    # apply separator-variable masks elementwise on the output
-    for i, v in enumerate(sset):
-        if v in sep_masks:
-            m = sep_masks[v]
-            shape = [B] + [1] * len(sset)
-            shape[1 + i] = m.shape[1]
-            out = out * m.reshape(shape)
+    # apply separator-scoped masks/messages elementwise on the output
+    for vs, t in sep_items:
+        shape = [B] + [1] * len(sset)
+        for i, v in enumerate(vs):
+            shape[1 + sset.index(v)] = t.shape[1 + i]
+        # order t's axes to separator order
+        axes_order = [0] + [
+            1 + list(vs).index(v) for v in sset if v in vs
+        ]
+        out = out * jnp.transpose(t, axes_order).reshape(shape)
     return out

@@ -85,6 +85,59 @@ def test_big_clique_sep_message_no_rest_masks():
     )
 
 
+def test_big_clique_sep_message_with_messages():
+    """Child messages fused into the kernel weight groups: overlapping
+    rest-scoped messages (shared var -> same component), a sep-scoped
+    message, plus masks — against a direct einsum oracle."""
+    rng = np.random.default_rng(11)
+    cvars = [0, 1, 2, 3, 4, 5]
+    sizes = {0: 2, 1: 3, 2: 2, 3: 4, 4: 3, 5: 2}
+    svars = [4, 5]
+    B = 7
+    pot = jnp.asarray(
+        rng.random(tuple(sizes[v] for v in cvars)), dtype=jnp.float32
+    )
+    masks = {
+        0: jnp.asarray(rng.random((B, 2)), dtype=jnp.float32),
+        4: jnp.asarray(rng.random((B, 3)), dtype=jnp.float32),
+    }
+    m12 = jnp.asarray(rng.random((B, 3, 2)), dtype=jnp.float32)
+    m23 = jnp.asarray(rng.random((B, 2, 4)), dtype=jnp.float32)
+    m45 = jnp.asarray(rng.random((B, 3, 2)), dtype=jnp.float32)
+    msgs = [((1, 2), m12), ((2, 3), m23), ((4, 5), m45)]
+    got = big_clique_sep_message(
+        pot, cvars, masks, svars, msgs=msgs, interpret=True
+    )
+    want = jnp.einsum(
+        "abcdef,xa,xbc,xcd,xe,xef->xef",
+        pot, masks[0], m12, m23, masks[4], m45,
+        precision="highest",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+    # message order on a sep-scoped operand in reversed var order
+    m54 = jnp.transpose(m45, (0, 2, 1))
+    got2 = big_clique_sep_message(
+        pot, cvars, masks, svars,
+        msgs=[((1, 2), m12), ((2, 3), m23), ((5, 4), m54)],
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_big_clique_message_crossing_boundary_raises():
+    rng = np.random.default_rng(13)
+    pot = jnp.asarray(rng.random((2, 3, 4)), dtype=jnp.float32)
+    msg = jnp.asarray(rng.random((5, 3, 4)), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="crosses"):
+        big_clique_sep_message(
+            pot, [0, 1, 2], {}, [2], msgs=[((1, 2), msg)], interpret=True
+        )
+
+
 def test_xla_fallback_matches():
     rng = np.random.default_rng(7)
     cvars = [0, 1, 2, 3]

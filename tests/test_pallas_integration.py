@@ -20,6 +20,56 @@ def routed():
     set_pallas_mode("auto")
 
 
+def test_message_fused_route_fires_and_matches(routed, monkeypatch):
+    """A hub clique with a 2-var separator child: the child's batched
+    message must be fused into the kernel weights (previously messages
+    disqualified the Pallas route entirely)."""
+    import junctiontree_tpu.ops.pallas_contract as pc
+    from junctiontree_tpu.config import DEFAULT
+
+    rng = np.random.default_rng(2)
+    hub = [f"h{i}" for i in range(5)]
+    factors = [hub, [hub[0], hub[1], "p"], ["p", "q"]]
+    sizes = {**{h: 2 for h in hub}, "p": 3, "q": 2}
+    values = [rng.random(tuple(sizes[v] for v in f)) + 0.1 for f in factors]
+
+    calls_with_msgs = []
+    orig = pc.big_clique_sep_message
+
+    def spy(pot, cvars, masks, svars, msgs=(), **kw):
+        if msgs:
+            calls_with_msgs.append([vs for vs, _ in msgs])
+        return orig(pot, cvars, masks, svars, msgs=msgs, **kw)
+
+    monkeypatch.setattr(pc, "big_clique_sep_message", spy)
+    import junctiontree_tpu.executor  # route imports via pc module attr
+
+    old = DEFAULT.pallas_min_states
+    try:
+        DEFAULT.pallas_min_states = 4
+        tree = jt.create_junction_tree(factors, sizes)
+        eng = tree.engine().set_potentials(values)
+        evs = random_evidence_batch(tree.plan, 3, ["q", hub[3]], seed=1)
+        masks = batch_masks_sparse(tree.plan, evs)
+        margs, z = eng.query_batch(masks)
+    finally:
+        DEFAULT.pallas_min_states = old
+
+    assert any(
+        any(len(vs) >= 2 for vs in call) for call in calls_with_msgs
+    ), "no multi-var message was fused into the kernel route"
+
+    var_list = list(sizes)
+    expect = brute_force_marginals(
+        factors, sizes, values, [[v] for v in var_list], evidence=evs[1]
+    )
+    for i, v in enumerate(var_list):
+        vid = tree.plan.table.id_of(v)
+        np.testing.assert_allclose(
+            np.asarray(margs[vid])[1], expect[i], rtol=1e-4, atol=1e-6
+        )
+
+
 def test_kernel_routed_program_matches_einsum_program(routed):
     """Force a tiny pallas_min_states so the 3x3 grid routes through the
     kernel (interpret mode), and compare against the einsum-only program."""
