@@ -22,6 +22,7 @@ Fast TPU path:
 """
 
 from .api import CliqueGraph, FactorGraph, JunctionTree, create_junction_tree
+from .approx import LoopyEngine
 from .evidence import apply_evidence, batch_masks, shrink_sizes
 from .executor import Engine, evidence_to_masks
 from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SEMIRINGS, SUM_PRODUCT
@@ -35,6 +36,7 @@ __all__ = [
     "CliqueGraph",
     "JunctionTree",
     "Engine",
+    "LoopyEngine",
     "Plan",
     "compile_plan",
     "apply_evidence",

@@ -1,0 +1,314 @@
+"""Approximate inference: loopy belief propagation on the raw factor graph.
+
+The exact engine's cost is exponential in treewidth — a 30x30 grid MRF has
+treewidth ~30 and is out of reach for exact junction-tree inference (the
+reference library simply cannot run such models at all).  Loopy BP runs sum-
+product message passing directly on the (non-chordalized) factor graph with a
+synchronous flooding schedule; on tree-structured graphs it is exact, on
+loopy graphs it converges to the Bethe approximation of the marginals and
+log-partition function.
+
+TPU-first design (vs the reference's per-message Python recursion,
+/root/reference/junctiontree/computation.py:47-96):
+
+  * factors are bucketed by shape and prestacked into [G, *shape] tensors;
+    one flooding iteration is O(buckets x max_arity) dense XLA ops,
+    independent of the number of factors — a 30x30 grid (1800 factors) is
+    the same program as a 3x3 grid;
+  * all messages live in one padded [E, B, K_max] tensor; variable-side
+    products are `segment_prod` scatters, factor-side gathers are static;
+  * iterations run under `lax.scan` in chunks, with host-side convergence
+    checks between chunks (static shapes, one compile);
+  * evidence is per-variable masks with a batch axis (same contract as
+    `Engine.posterior_batch`), so one compiled program serves every
+    evidence instantiation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .labels import LabelTable, intern_factors
+
+_TINY = 1e-30
+
+
+class LoopyEngine:
+    """Loopy-BP engine over a factor graph (no triangulation).
+
+    Same query contract as the exact ``Engine.posterior_batch`` — returns
+    (normalized per-variable posteriors, logZ estimate) — but approximate on
+    loopy graphs and linear in the factor sizes instead of exponential in
+    treewidth."""
+
+    def __init__(
+        self,
+        factors: Sequence[Sequence[Hashable]],
+        sizes: Dict[Hashable, int],
+        values: Optional[Sequence[np.ndarray]] = None,
+        damping: float = 0.5,
+        max_iters: int = 200,
+        tol: float = 1e-6,
+        chunk_iters: int = 25,
+    ):
+        self.table, self.factors, self.sizes = intern_factors(factors, sizes)
+        if not self.factors:
+            raise ValueError("need at least one factor")
+        if any(len(f) == 0 for f in self.factors):
+            raise ValueError("scalar (zero-variable) factors not supported")
+        self.damping = float(damping)
+        self.max_iters = int(max_iters)
+        self.tol = float(tol)
+        self.chunk_iters = int(chunk_iters)
+        self.num_vars = len(self.sizes)
+        self.K = max(self.sizes)
+
+        # ---- bucket factors by shape; build static edge tables ----
+        shape_of = lambda f: tuple(self.sizes[v] for v in f)
+        bucket_ix: Dict[tuple, int] = {}
+        self.bucket_shapes: List[tuple] = []
+        self.bucket_factors: List[List[int]] = []
+        for fi, f in enumerate(self.factors):
+            sh = shape_of(f)
+            if sh not in bucket_ix:
+                bucket_ix[sh] = len(self.bucket_shapes)
+                self.bucket_shapes.append(sh)
+                self.bucket_factors.append([])
+            self.bucket_factors[bucket_ix[sh]].append(fi)
+
+        # edge = (factor, position); id assigned bucket-major, position-major
+        self.edge_var: List[int] = []
+        self.bucket_eids: List[List[np.ndarray]] = []   # [b][p] -> [G] ids
+        self.bucket_evars: List[List[np.ndarray]] = []  # [b][p] -> [G] vars
+        for b, fis in enumerate(self.bucket_factors):
+            arity = len(self.bucket_shapes[b])
+            eids, evars = [], []
+            for p in range(arity):
+                ids = []
+                vs = []
+                for fi in fis:
+                    ids.append(len(self.edge_var))
+                    v = self.factors[fi][p]
+                    self.edge_var.append(v)
+                    vs.append(v)
+                eids.append(np.asarray(ids, dtype=np.int32))
+                evars.append(np.asarray(vs, dtype=np.int32))
+            self.bucket_eids.append(eids)
+            self.bucket_evars.append(evars)
+        self.E = len(self.edge_var)
+        self.edge_var_arr = np.asarray(self.edge_var, dtype=np.int32)
+        # lane validity per edge [E, K] and per var [V, K]
+        esz = np.asarray([self.sizes[v] for v in self.edge_var])
+        lanes = np.arange(self.K)[None, :]
+        self.edge_lane = (lanes < esz[:, None]).astype(np.float32)
+        vsz = np.asarray(self.sizes)
+        self.var_lane = (lanes < vsz[:, None]).astype(np.float32)
+        self.degree = np.bincount(
+            self.edge_var_arr, minlength=self.num_vars
+        ).astype(np.float32)
+
+        self._pots: Optional[List[jnp.ndarray]] = None  # stacked per bucket
+        self._cache: dict = {}
+        if values is not None:
+            self.set_potentials(values)
+
+    # ------------------------------------------------------------------
+    def set_potentials(self, values: Sequence[np.ndarray]) -> "LoopyEngine":
+        if len(values) != len(self.factors):
+            raise ValueError(
+                f"expected {len(self.factors)} value arrays, got {len(values)}"
+            )
+        for f, v in zip(self.factors, values):
+            want = tuple(self.sizes[x] for x in f)
+            if tuple(np.shape(v)) != want:
+                raise ValueError(
+                    f"potential shape {np.shape(v)} != factor shape {want}"
+                )
+        self._pots = [
+            jnp.asarray(
+                np.stack([np.asarray(values[fi], dtype=np.float32)
+                          for fi in fis])
+            )
+            for fis in self.bucket_factors
+        ]
+        self._cache.clear()
+        return self
+
+    # ------------------------------------------------------------------
+    def _program(self, B: int):
+        """Jitted (masks [V,B,K], m [E,B,K]) -> (m', delta) one chunk of
+        flooding iterations, plus a belief/readout program."""
+        edge_var = jnp.asarray(self.edge_var_arr)
+        edge_lane = jnp.asarray(self.edge_lane)[:, None, :]  # [E,1,K]
+        var_lane = jnp.asarray(self.var_lane)[:, None, :]    # [V,1,K]
+        V, E, K = self.num_vars, self.E, self.K
+        pots = self._pots
+        damping = self.damping
+
+        def var_to_factor(masks, m):
+            """v->f messages [E,B,K] from current f->v messages."""
+            prod = jax.ops.segment_prod(m, edge_var, num_segments=V)
+            belief = masks * prod * var_lane + (1.0 - var_lane)
+            v2f = belief[edge_var] / jnp.maximum(m, _TINY)
+            s = jnp.sum(v2f * edge_lane, axis=-1, keepdims=True)
+            return jnp.where(
+                edge_lane > 0, v2f / jnp.maximum(s, _TINY), 1.0
+            )
+
+        def factor_to_var(v2f, m_old):
+            """One flooding update of all f->v messages."""
+            m_new = jnp.ones_like(m_old)
+            for b, sh in enumerate(self.bucket_shapes):
+                arity = len(sh)
+                G = len(self.bucket_factors[b])
+                pot = pots[b][:, None]  # [G,1,*sh]
+                ins = []
+                for p in range(arity):
+                    rows = v2f[self.bucket_eids[b][p]][:, :, : sh[p]]
+                    shape = [G, -1] + [1] * arity
+                    shape[2 + p] = sh[p]
+                    ins.append(rows.reshape(shape))
+                # leave-one-out prefix/suffix products
+                prefix = [None] * arity
+                run = None
+                for p in range(arity):
+                    prefix[p] = run
+                    run = ins[p] if run is None else run * ins[p]
+                suffix = [None] * arity
+                run = None
+                for p in range(arity - 1, -1, -1):
+                    suffix[p] = run
+                    run = ins[p] if run is None else run * ins[p]
+                for p in range(arity):
+                    acc = pot
+                    if prefix[p] is not None:
+                        acc = acc * prefix[p]
+                    if suffix[p] is not None:
+                        acc = acc * suffix[p]
+                    red = tuple(2 + a for a in range(arity) if a != p)
+                    out = jnp.sum(acc, axis=red) if red else acc
+                    s = jnp.sum(out, axis=-1, keepdims=True)
+                    out = out / jnp.maximum(s, _TINY)
+                    if sh[p] < K:
+                        out = jnp.pad(
+                            out,
+                            ((0, 0), (0, 0), (0, K - sh[p])),
+                            constant_values=1.0,
+                        )
+                    m_new = m_new.at[self.bucket_eids[b][p]].set(out)
+            return damping * m_old + (1.0 - damping) * m_new
+
+        def chunk(masks, m):
+            def body(m, _):
+                v2f = var_to_factor(masks, m)
+                m2 = factor_to_var(v2f, m)
+                delta = jnp.max(jnp.abs(m2 - m))
+                return m2, delta
+            m, deltas = jax.lax.scan(
+                body, m, None, length=self.chunk_iters
+            )
+            return m, deltas[-1]
+
+        def readout(masks, m):
+            """(var marginals [V,B,K], logZ_bethe [B])."""
+            prod = jax.ops.segment_prod(m, edge_var, num_segments=V)
+            belief = masks * prod * var_lane
+            bsum = jnp.sum(belief, axis=-1, keepdims=True)
+            b_v = belief / jnp.maximum(bsum, _TINY)
+            v2f = var_to_factor(masks, m)
+
+            logz = jnp.zeros((belief.shape[1],), dtype=belief.dtype)
+            xlogy = lambda p, q: jnp.where(
+                p > _TINY, p * jnp.log(jnp.maximum(q, _TINY)), 0.0
+            )
+            for b, sh in enumerate(self.bucket_shapes):
+                arity = len(sh)
+                G = len(self.bucket_factors[b])
+                pot = pots[b][:, None]
+                acc = pot
+                for p in range(arity):
+                    rows = v2f[self.bucket_eids[b][p]][:, :, : sh[p]]
+                    shape = [G, -1] + [1] * arity
+                    shape[2 + p] = sh[p]
+                    acc = acc * rows.reshape(shape)
+                axes = tuple(range(2, 2 + arity))
+                z_f = jnp.sum(acc, axis=axes, keepdims=True)
+                b_f = acc / jnp.maximum(z_f, _TINY)
+                # sum_f E_{b_f}[log pot_f - log b_f]
+                term = xlogy(b_f, jnp.broadcast_to(pot, b_f.shape)) - xlogy(
+                    b_f, b_f
+                )
+                logz = logz + jnp.sum(term, axis=(0,) + axes).reshape(-1)
+            # + sum_v E_{b_v}[log mask_v] + (d_v - 1) E[log b_v]
+            logz = logz + jnp.sum(xlogy(b_v, masks), axis=(0, 2))
+            dv = jnp.asarray(self.degree)[:, None, None] - 1.0
+            logz = logz + jnp.sum(dv * xlogy(b_v, b_v), axis=(0, 2))
+            return b_v, logz
+
+        return jax.jit(chunk), jax.jit(readout)
+
+    # ------------------------------------------------------------------
+    def _masks_tensor(self, mask_batch, B: int) -> jnp.ndarray:
+        """Dict {var label or id: [B, size]} -> dense [V, B, K] (pad=1)."""
+        out = np.ones((self.num_vars, B, self.K), dtype=np.float32)
+        for k, m in mask_batch.items():
+            vid = k if isinstance(k, int) else self.table.id_of(k)
+            m = np.asarray(m, dtype=np.float32)
+            if m.shape != (B, self.sizes[vid]):
+                raise ValueError(
+                    f"mask for {k}: expected {(B, self.sizes[vid])}, "
+                    f"got {m.shape}"
+                )
+            out[vid, :, : self.sizes[vid]] = m
+        return jnp.asarray(out)
+
+    def posterior_batch(
+        self, mask_batch: Dict, batch: Optional[int] = None
+    ):
+        """Approximate posteriors + Bethe logZ under batched evidence masks.
+
+        mask_batch: {var label or interned id: [B, size_v]} linear masks.
+        Returns (list over var ids of [B, size_v] normalized posteriors,
+        logZ [B], info dict with 'iters' and 'delta')."""
+        if self._pots is None:
+            raise RuntimeError("call set_potentials(values) first")
+        if batch is None:
+            if not mask_batch:
+                raise ValueError("pass batch= when mask_batch is empty")
+            batch = int(next(iter(mask_batch.values())).shape[0])
+        key = ("prog", batch)
+        if key not in self._cache:
+            self._cache[key] = self._program(batch)
+        chunk, readout = self._cache[key]
+        masks = self._masks_tensor(mask_batch, batch)
+        m = jnp.ones((self.E, batch, self.K), dtype=jnp.float32)
+        iters = 0
+        delta = np.inf
+        while iters < self.max_iters:
+            m, d = chunk(masks, m)
+            iters += self.chunk_iters
+            delta = float(d)
+            if delta < self.tol:
+                break
+        b_v, logz = readout(masks, m)
+        margs = [b_v[v, :, : self.sizes[v]] for v in range(self.num_vars)]
+        return margs, logz, {"iters": iters, "delta": delta}
+
+    def posterior(self, evidence: Optional[Dict[Hashable, int]] = None):
+        """Single-query convenience: evidence {var: state} -> (posteriors,
+        logZ, info) with the batch axis squeezed."""
+        evidence = evidence or {}
+        masks = {}
+        for k, s in evidence.items():
+            vid = k if isinstance(k, int) else self.table.id_of(k)
+            if not (0 <= s < self.sizes[vid]):
+                raise ValueError(f"state {s} out of range for {k}")
+            m = np.zeros((1, self.sizes[vid]), dtype=np.float32)
+            m[0, s] = 1.0
+            masks[vid] = m
+        margs, logz, info = self.posterior_batch(masks, batch=1)
+        return [m[0] for m in margs], float(logz[0]), info
