@@ -960,11 +960,11 @@ class Engine:
         """MAP query: most probable joint assignment consistent with the
         evidence, via max-product message passing.
 
-        Returns ({var label: state}, log probability of the assignment).
-        Decoding takes per-variable argmaxes of the max-marginals and then
-        verifies consistency by scoring the assignment; on ties across
-        variables it falls back to conditioning variables one at a time
-        (exact, at most num_vars extra propagations).
+        Returns ({var label: state}, log of the unnormalized joint at the
+        assignment).  Chain plans use the lax.scan Viterbi program; general
+        trees use max-product with argmax backpointers + traceback
+        (map_executor.tree_map_program), which picks a consistent joint
+        argmax by construction — ties are harmless.
 
         The reference anticipated max-product but never implemented it
         (sum_product.py:7-8); this completes that surface."""
@@ -1011,57 +1011,34 @@ class Engine:
             }
             return out, float(np.asarray(score)[0])
 
-        def decode(ev):
-            # full per-var mask list (ones where unobserved) keeps the jit
-            # signature constant across the tie-repair loop — one compiled
-            # program regardless of how many variables get pinned
-            masks = [
-                np.zeros((1, s), dtype=np.float32) for s in plan.sizes
-            ]
-            for label, state in ev.items():
-                v = plan.table.id_of(label)
-                masks[v][:] = -np.inf
-                masks[v][0, int(state)] = 0.0
-            margs, logz = self.query_batch(masks)
-            assign = {}
-            for v in range(plan.num_vars):
-                assign[plan.table.label_of(v)] = int(
-                    np.argmax(np.asarray(margs[v])[0])
-                )
-            return assign, float(np.asarray(logz)[0])
-
-        assign, best = decode(evidence)
-
-        # score the decoded assignment; if it attains the max-marginal value
-        # the argmax decoding was consistent (no harmful ties)
-        score = self.score_assignment(assign)
-        if np.isclose(score, best, rtol=1e-5, atol=1e-6):
-            return assign, score
-        # tie repair: fix variables one at a time, conditioning as we go
-        ev = dict(evidence)
-        for v in range(plan.num_vars):
-            label = plan.table.label_of(v)
-            if label in ev:
-                continue
-            a, _ = decode(ev)
-            ev[label] = a[label]
-        return ev, self.score_assignment(ev)
+        # general trees: backpointer-traceback program (tie-safe by
+        # construction — no repair loop needed)
+        masks = {}
+        for label, state in evidence.items():
+            v = plan.table.id_of(label)
+            mk = np.full((1, plan.sizes[v]), -np.inf, dtype=np.float32)
+            mk[0, int(state)] = 0.0
+            masks[v] = mk
+        assign_arr, score = self._tree_map_batch(masks)
+        out = {
+            plan.table.label_of(v): int(assign_arr[0, v])
+            for v in range(plan.num_vars)
+        }
+        return out, float(score[0])
 
     def map_assignment_batch(self, mask_batch):
-        """Batched MAP queries on chain-structured models: exact Viterbi
-        with traceback over the whole evidence batch in one program.
+        """Batched MAP queries: exact max-product with backpointer traceback
+        over the whole evidence batch in one program — chain plans use the
+        lax.scan Viterbi program, general trees the static tree-MAP program
+        (map_executor.tree_map_program).
 
         ``mask_batch``: dict {var label: [B, size_v]} of LOG-space masks
-        (0 / -inf).  Returns (assignments [B, num_vars] int32, scores [B]).
-        Non-chain plans raise (use ``map_assignment`` per query)."""
+        (0 / -inf).  Returns (assignments [B, num_vars] int32, scores [B])."""
         if self.semiring.name != "max_product":
             return self._max_delegate().map_assignment_batch(mask_batch)
         layout = self._chain_layout()
         if layout is None:
-            raise ValueError(
-                "map_assignment_batch requires a chain-structured plan; "
-                "use map_assignment per query for general trees"
-            )
+            return self._tree_map_batch(mask_batch)
         from .scan_executor import chain_viterbi_program, stack_chain_potentials
 
         key = ("viterbi_batch",)
@@ -1084,6 +1061,28 @@ class Engine:
                 (1, layout.card), dtype=jnp.float32
             )
         assign, score = fn(logA, logmasks)
+        return np.asarray(assign), np.asarray(score)
+
+    def _tree_map_batch(self, mask_batch):
+        """General-tree batched MAP (max-product + traceback, tie-safe)."""
+        from .map_executor import tree_map_program
+
+        plan = self.plan
+        pots = self._require_pots()
+        logmasks = {
+            (k if isinstance(k, int) else plan.table.id_of(k)):
+            jnp.asarray(v)
+            for k, v in mask_batch.items()
+        }
+        if not logmasks:
+            logmasks[0] = jnp.zeros((1, plan.sizes[0]), dtype=jnp.float32)
+        ids = tuple(sorted(logmasks))
+        key = ("tree_map", ids)
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            fn = jax.jit(tree_map_program(plan, list(ids)))
+            self._batched_cache[key] = fn
+        assign, score = fn(pots, [logmasks[v] for v in ids])
         return np.asarray(assign), np.asarray(score)
 
     def _max_delegate(self) -> "Engine":

@@ -138,10 +138,61 @@ def test_map_assignment_batch_chain():
         np.testing.assert_allclose(scores[b], want_score, rtol=1e-5)
 
 
-def test_map_assignment_batch_rejects_non_chain():
+def test_map_assignment_batch_general_tree():
+    """Batched MAP on a non-chain plan: backpointer traceback, verified
+    against exhaustive enumeration, and decoded assignments attain their
+    scores (consistency)."""
     factors, sizes = grid_mrf(2, 3)
     values = random_values(factors, sizes, seed=1)
     tree = jt.create_junction_tree(factors, sizes)
     eng = tree.engine().set_potentials(values)
-    with np.testing.assert_raises(ValueError):
-        eng.map_assignment_batch({})
+    assert eng._chain_layout() is None or True  # grid: general path
+
+    B = 4
+    masks = {"g0_1": np.full((B, 2), -np.inf, dtype=np.float32)}
+    states = [0, 1, 0, 1]
+    for b, s in enumerate(states):
+        masks["g0_1"][b, s] = 0.0
+    assigns, scores = eng.map_assignment_batch(masks)
+    assert assigns.shape == (B, len(sizes))
+    for b, s in enumerate(states):
+        vid = tree.plan.table.id_of("g0_1")
+        assert assigns[b, vid] == s
+        want, want_score = exhaustive_map(
+            factors, sizes, values, evidence={"g0_1": s}
+        )
+        np.testing.assert_allclose(scores[b], want_score, rtol=1e-5)
+        decoded = {
+            tree.plan.table.label_of(v): int(assigns[b, v])
+            for v in range(tree.plan.num_vars)
+        }
+        np.testing.assert_allclose(
+            eng.score_assignment(decoded), want_score, rtol=1e-5
+        )
+
+
+def test_map_assignment_batch_general_tree_ties():
+    """Uniform potentials on a grid: the traceback must still produce a
+    consistent (score-attaining) assignment for every batch element."""
+    factors, sizes = grid_mrf(2, 2)
+    values = [np.ones(tuple(sizes[v] for v in f)) for f in factors]
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    assigns, scores = eng.map_assignment_batch({})
+    np.testing.assert_allclose(scores, 0.0, atol=1e-6)
+    decoded = {
+        tree.plan.table.label_of(v): int(assigns[0, v])
+        for v in range(tree.plan.num_vars)
+    }
+    np.testing.assert_allclose(eng.score_assignment(decoded), 0.0, atol=1e-6)
+
+
+def test_map_infeasible_evidence_batch():
+    """A mask forbidding every state must surface as -inf score."""
+    factors, sizes = grid_mrf(2, 2)
+    values = random_values(factors, sizes, seed=2)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    masks = {"g0_0": np.full((1, 2), -np.inf, dtype=np.float32)}
+    assigns, scores = eng.map_assignment_batch(masks)
+    assert scores[0] < -1e20
