@@ -139,15 +139,20 @@ class LoopyEngine:
         return self
 
     # ------------------------------------------------------------------
-    def _program(self, B: int):
+    def _program(self, B: int, mode: str = "sum"):
         """Jitted (masks [V,B,K], m [E,B,K]) -> (m', delta) one chunk of
-        flooding iterations, plus a belief/readout program."""
+        flooding iterations, plus a belief/readout program.
+
+        mode: "sum" = sum-product (posteriors + Bethe logZ), "max" =
+        max-product (approximate MAP max-marginals; readout returns beliefs
+        and a zero logZ placeholder)."""
         edge_var = jnp.asarray(self.edge_var_arr)
         edge_lane = jnp.asarray(self.edge_lane)[:, None, :]  # [E,1,K]
         var_lane = jnp.asarray(self.var_lane)[:, None, :]    # [V,1,K]
         V, E, K = self.num_vars, self.E, self.K
         pots = self._pots
         damping = self.damping
+        reduce_op = jnp.max if mode == "max" else jnp.sum
 
         def var_to_factor(masks, m):
             """v->f messages [E,B,K] from current f->v messages."""
@@ -190,7 +195,7 @@ class LoopyEngine:
                     if suffix[p] is not None:
                         acc = acc * suffix[p]
                     red = tuple(2 + a for a in range(arity) if a != p)
-                    out = jnp.sum(acc, axis=red) if red else acc
+                    out = reduce_op(acc, axis=red) if red else acc
                     s = jnp.sum(out, axis=-1, keepdims=True)
                     out = out / jnp.maximum(s, _TINY)
                     if sh[p] < K:
@@ -219,6 +224,8 @@ class LoopyEngine:
             belief = masks * prod * var_lane
             bsum = jnp.sum(belief, axis=-1, keepdims=True)
             b_v = belief / jnp.maximum(bsum, _TINY)
+            if mode == "max":  # max-marginals only; no Bethe free energy
+                return b_v, jnp.zeros((belief.shape[1],), belief.dtype)
             v2f = var_to_factor(masks, m)
 
             logz = jnp.zeros((belief.shape[1],), dtype=belief.dtype)
@@ -280,9 +287,14 @@ class LoopyEngine:
             if not mask_batch:
                 raise ValueError("pass batch= when mask_batch is empty")
             batch = int(next(iter(mask_batch.values())).shape[0])
-        key = ("prog", batch)
+        b_v, logz, info = self._run(mask_batch, batch, mode="sum")
+        margs = [b_v[v, :, : self.sizes[v]] for v in range(self.num_vars)]
+        return margs, logz, info
+
+    def _run(self, mask_batch, batch: int, mode: str):
+        key = ("prog", batch, mode)
         if key not in self._cache:
-            self._cache[key] = self._program(batch)
+            self._cache[key] = self._program(batch, mode)
         chunk, readout = self._cache[key]
         masks = self._masks_tensor(mask_batch, batch)
         m = jnp.ones((self.E, batch, self.K), dtype=jnp.float32)
@@ -295,8 +307,69 @@ class LoopyEngine:
             if delta < self.tol:
                 break
         b_v, logz = readout(masks, m)
-        margs = [b_v[v, :, : self.sizes[v]] for v in range(self.num_vars)]
-        return margs, logz, {"iters": iters, "delta": delta}
+        return b_v, logz, {"iters": iters, "delta": delta}
+
+    def map_assignment_batch(
+        self, mask_batch: Dict, batch: Optional[int] = None
+    ):
+        """Approximate MAP by max-product flooding + per-variable argmax.
+
+        Exact on trees (up to ties); on loopy graphs this is the standard
+        max-product BP heuristic.  Returns (assignments [B, num_vars] int32,
+        scores [B] = log unnormalized joint at the decoded assignment
+        including mask terms, info)."""
+        if self._pots is None:
+            raise RuntimeError("call set_potentials(values) first")
+        if batch is None:
+            if not mask_batch:
+                raise ValueError("pass batch= when mask_batch is empty")
+            batch = int(next(iter(mask_batch.values())).shape[0])
+        b_v, _, info = self._run(mask_batch, batch, mode="max")
+        lanes = jnp.asarray(self.var_lane)[:, None, :]
+        assign = np.asarray(
+            jnp.argmax(jnp.where(lanes > 0, b_v, -1.0), axis=-1),
+            dtype=np.int32,
+        ).T  # [B, V]
+        # score the decoded assignments: sum of log potentials + log masks
+        masks_np = np.asarray(self._masks_tensor(mask_batch, batch))
+        scores = np.zeros(batch, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            for b, fis in enumerate(self.bucket_factors):
+                pot = np.asarray(self._pots[b])  # [G, *shape]
+                flat = pot.reshape(len(fis), -1)
+                strides = np.cumprod(
+                    (self.bucket_shapes[b] + (1,))[::-1]
+                )[::-1][1:]
+                idx = np.zeros((batch, len(fis)), dtype=np.int64)
+                for p, st in enumerate(strides):
+                    idx += assign[:, self.bucket_evars[b][p]] * st
+                scores += np.log(
+                    np.maximum(flat[np.arange(len(fis))[None, :], idx], 0)
+                ).sum(axis=1)
+            vidx = np.arange(self.num_vars)
+            scores += np.log(
+                masks_np[vidx[None, :], np.arange(batch)[:, None],
+                         assign]
+            ).sum(axis=1)
+        return assign, scores, info
+
+    def map_assignment(self, evidence: Optional[Dict[Hashable, int]] = None):
+        """Single-query approximate MAP: ({var label: state}, score, info)."""
+        evidence = evidence or {}
+        masks = {}
+        for k, s in evidence.items():
+            vid = k if isinstance(k, int) else self.table.id_of(k)
+            if not (0 <= s < self.sizes[vid]):
+                raise ValueError(f"state {s} out of range for {k}")
+            m = np.zeros((1, self.sizes[vid]), dtype=np.float32)
+            m[0, s] = 1.0
+            masks[vid] = m
+        assign, scores, info = self.map_assignment_batch(masks, batch=1)
+        out = {
+            self.table.label_of(v): int(assign[0, v])
+            for v in range(self.num_vars)
+        }
+        return out, float(scores[0]), info
 
     def posterior(self, evidence: Optional[Dict[Hashable, int]] = None):
         """Single-query convenience: evidence {var: state} -> (posteriors,

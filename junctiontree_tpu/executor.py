@@ -34,6 +34,7 @@ import numpy as np
 from .ops.semirings import (
     LOG_SUM_EXP,
     MAX_PRODUCT,
+    SEMIRINGS,
     SUM_PRODUCT,
     Semiring,
     _broadcast_to_scope,
@@ -699,6 +700,45 @@ class Engine:
         if self._pots is None:
             raise RuntimeError("call set_potentials(values) before querying")
         return self._pots
+
+    # -- checkpoint/resume of the full serving state (SURVEY.md §5: the
+    # reference has nothing serializable at all; Plan.to_json covers the
+    # compile artifact, this adds the evaluated potentials + semiring so a
+    # serving process restores without re-triangulating or re-evaluating) --
+    def save(self, path: str) -> None:
+        """Write plan + evaluated clique potentials + semiring to one .npz.
+
+        Combined with the persistent XLA compilation cache
+        (config.enable_compilation_cache), a restored engine serves its
+        first query without any recompilation."""
+        if self._pots_np is None:
+            raise RuntimeError("call set_potentials(values) before save()")
+        arrs = {f"pot_{i}": p for i, p in enumerate(self._pots_np)}
+        np.savez_compressed(
+            path,
+            __plan__=np.frombuffer(
+                self.plan.to_json().encode("utf-8"), dtype=np.uint8
+            ),
+            __semiring__=np.array(self.semiring.name),
+            **arrs,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Engine":
+        """Restore an engine checkpointed with ``save`` (plan, potentials,
+        semiring) — ready to query immediately."""
+        from .schedule import plan_from_json
+
+        d = np.load(path, allow_pickle=False)
+        plan = plan_from_json(bytes(d["__plan__"].tobytes()).decode("utf-8"))
+        eng = cls(plan, SEMIRINGS[str(d["__semiring__"])])
+        pots = [
+            np.asarray(d[f"pot_{i}"])
+            for i in range(plan.tri.num_cliques)
+        ]
+        eng._pots_np = pots
+        eng._pots = [jax.device_put(p) for p in pots]
+        return eng
 
     def describe(self) -> dict:
         """Introspection: plan stats + which execution tiers are engaged."""

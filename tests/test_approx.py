@@ -116,6 +116,43 @@ def test_loopy_large_grid_runs():
         np.testing.assert_allclose(margs[vid], exact, atol=0.03)
 
 
+def test_loopy_map_exact_on_tree():
+    """Max-product loopy BP on a tree = exact MAP (no ties with random
+    potentials)."""
+    from .test_map import exhaustive_map
+
+    factors, sizes = chain_bn(5)
+    values = random_values(factors, sizes, seed=13)
+    eng = LoopyEngine(factors, sizes, values, damping=0.0, tol=1e-12)
+    got, score, info = eng.map_assignment({"x2": 1})
+    assert got["x2"] == 1
+    want, want_score = exhaustive_map(
+        factors, sizes, values, evidence={"x2": 1}
+    )
+    assert got == want
+    np.testing.assert_allclose(score, want_score, rtol=1e-5)
+
+
+def test_loopy_map_batch_and_infeasible():
+    from .test_map import exhaustive_map
+
+    factors, sizes = grid_mrf(2, 2)
+    values = random_values(factors, sizes, seed=17)
+    eng = LoopyEngine(factors, sizes, values, damping=0.3, tol=1e-11)
+    B = 2
+    m = np.zeros((B, 2), dtype=np.float32)
+    m[0, 1] = 1.0
+    m[1, :] = 0.0  # infeasible: all states forbidden
+    assign, scores, info = eng.map_assignment_batch({"g0_0": m})
+    want, want_score = exhaustive_map(
+        factors, sizes, values, evidence={"g0_0": 1}
+    )
+    # loopy max-product on a 2x2 grid with random potentials: decoded score
+    # should attain the exact MAP here
+    np.testing.assert_allclose(scores[0], want_score, rtol=1e-4)
+    assert scores[1] == -np.inf
+
+
 def test_loopy_errors():
     factors, sizes = chain_bn(3)
     values = random_values(factors, sizes, seed=1)

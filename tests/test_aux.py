@@ -6,6 +6,7 @@ import pytest
 
 import junctiontree_tpu as jt
 from junctiontree_tpu.config import Config
+from junctiontree_tpu.executor import Engine
 from junctiontree_tpu.schedule import compile_plan, load_plan, plan_from_json
 from junctiontree_tpu.treebuild import (
     generate_potential_pairs,
@@ -85,6 +86,29 @@ def test_config_apply():
     assert get_matmul_precision() == "default"
     Config().apply()
     assert get_matmul_precision() == "highest"
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    """Engine.save/load restores the full serving state: identical queries
+    without re-triangulation or re-evaluation, for linear and log engines."""
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(3, 3, seed=6)
+    for semiring in ("sum_product", "log_sum_exp"):
+        eng = Config(semiring=semiring).engine(factors, sizes, values)
+        p = str(tmp_path / f"eng_{semiring}.npz")
+        eng.save(p)
+        eng2 = Engine.load(p)
+        assert eng2.semiring.name == semiring
+        want_m, want_z = eng.query({"g0_0": 1})
+        got_m, got_z = eng2.query({"g0_0": 1})
+        np.testing.assert_allclose(got_z, want_z, rtol=1e-12)
+        for a, b in zip(got_m, want_m):
+            np.testing.assert_allclose(a, b, rtol=1e-12)
+
+    eng3 = Engine(jt.compile_plan(factors, sizes))
+    with pytest.raises(RuntimeError, match="set_potentials"):
+        eng3.save(str(tmp_path / "no.npz"))
 
 
 def test_compilation_cache(tmp_path):
