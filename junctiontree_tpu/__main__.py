@@ -1,11 +1,13 @@
 """Command-line interface for UAI-format inference.
 
     python -m junctiontree_tpu MODEL.uai [--evidence E.evid] \
-        [--task MAR|MPE|PR] [--semiring ...] [--stats] [--out FILE]
+        [--task MAR|MPE|PR] [--engine auto|exact|loopy] [--stats] [--out FILE]
 
 Tasks follow the UAI competition conventions: PR prints log10 of the
 partition function; MAR prints per-variable posterior marginals; MPE prints
-the most probable assignment.  The reference library has no CLI or file
+the most probable assignment.  ``--engine auto`` (default) runs the exact
+junction-tree engine and falls back to loopy BP when the model's treewidth
+makes exact inference infeasible.  The reference library has no CLI or file
 format support at all."""
 
 from __future__ import annotations
@@ -29,6 +31,15 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--stats", action="store_true", help="print compile stats")
     ap.add_argument("--out", help="write result to file instead of stdout")
+    ap.add_argument(
+        "--engine", default="auto", choices=["auto", "exact", "loopy"],
+        help="auto: exact junction tree, falling back to loopy BP when the "
+        "treewidth makes exact inference infeasible; exact/loopy force one",
+    )
+    ap.add_argument("--iters", type=int, default=200,
+                    help="loopy BP iteration cap")
+    ap.add_argument("--damping", type=float, default=0.5,
+                    help="loopy BP damping")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -40,12 +51,29 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     factors, sizes, values = load_uai(args.model)
     evidence = load_evidence(args.evidence) if args.evidence else {}
-    tree = jt.create_junction_tree(factors, sizes)
-    if args.stats:
-        print(
-            "# compile %.2fs  %s" % (time.perf_counter() - t0, tree.stats()),
-            file=sys.stderr,
-        )
+
+    use_loopy = args.engine == "loopy"
+    tree = None
+    if not use_loopy:
+        tree = jt.create_junction_tree(factors, sizes)
+        if args.engine == "auto":
+            from junctiontree_tpu.executor import check_feasible
+
+            try:
+                check_feasible(tree.plan)
+            except ValueError as e:
+                print(f"# exact inference infeasible ({e}); "
+                      "falling back to loopy BP", file=sys.stderr)
+                use_loopy = True
+        if args.stats and not use_loopy:
+            print(
+                "# compile %.2fs  %s"
+                % (time.perf_counter() - t0, tree.stats()),
+                file=sys.stderr,
+            )
+
+    if use_loopy:
+        return _run_loopy(args, factors, sizes, values, evidence)
 
     lines: list = []
     n_vars = len(sizes)
@@ -95,11 +123,67 @@ def main(argv=None) -> int:
             lines.append(" ".join(parts))
 
     text = "\n".join(lines) + "\n"
-    if args.out:
-        with open(args.out, "w") as f:
+    _emit(text, args.out)
+    return 0
+
+
+def _emit(text: str, out) -> None:
+    if out:
+        with open(out, "w") as f:
             f.write(text)
     else:
         sys.stdout.write(text)
+
+
+def _run_loopy(args, factors, sizes, values, evidence) -> int:
+    """Approximate UAI tasks via loopy BP (high-treewidth fallback)."""
+    import numpy as np
+
+    from junctiontree_tpu.approx import LoopyEngine
+
+    eng = LoopyEngine(
+        factors, sizes, values,
+        damping=args.damping, max_iters=args.iters,
+    )
+    n_vars = len(sizes)
+    used = set(eng.table.labels)
+    model_evidence = {k: v for k, v in evidence.items() if k in used}
+    lines: list = []
+    if args.task == "MPE":
+        assign, score, info = eng.map_assignment(model_evidence)
+        lines.append("MPE")
+        lines.append(
+            str(n_vars)
+            + " "
+            + " ".join(
+                str(assign.get(v, evidence.get(v, 0))) for v in range(n_vars)
+            )
+        )
+        print("# loopy BP (approx), iters=%d delta=%.2e  log p = %.6f"
+              % (info["iters"], info["delta"], score), file=sys.stderr)
+    else:
+        margs, logz, info = eng.posterior(model_evidence)
+        print("# loopy BP (approx), iters=%d delta=%.2e"
+              % (info["iters"], info["delta"]), file=sys.stderr)
+        if args.task == "PR":
+            lines.append("PR")
+            lines.append("%.6f" % (float(logz) / np.log(10.0)))
+        else:
+            lines.append("MAR")
+            parts = [str(n_vars)]
+            for v in range(n_vars):
+                if v in used:
+                    p = np.asarray(margs[eng.table.id_of(v)])
+                else:
+                    card = sizes[v]
+                    p = np.full(card, 1.0 / card)
+                    if v in evidence:
+                        p = np.zeros(card)
+                        p[evidence[v]] = 1.0
+                parts.append(str(len(p)))
+                parts.extend("%.8f" % x for x in p)
+            lines.append(" ".join(parts))
+    _emit("\n".join(lines) + "\n", args.out)
     return 0
 
 

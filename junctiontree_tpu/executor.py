@@ -69,8 +69,9 @@ def check_feasible(plan: Plan) -> None:
         raise ValueError(
             "model is infeasible for exact inference: largest clique has "
             f"{worst:,} states (treewidth {plan.tri.treewidth}); limit is "
-            f"{MAX_CLIQUE_STATES:,}. Reduce the model's connectivity or use "
-            "a better elimination order (heuristic='portfolio16')."
+            f"{MAX_CLIQUE_STATES:,}. Reduce the model's connectivity, use "
+            "a better elimination order (heuristic='portfolio16'), or "
+            "switch to approximate inference (junctiontree_tpu.LoopyEngine)."
         )
 
 

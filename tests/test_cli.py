@@ -87,3 +87,31 @@ def test_cli_out_file(uai_files, tmp_path):
     r = run_cli(str(model), "--task", "PR", "--out", str(out))
     assert r.returncode == 0
     assert out.read_text().startswith("PR")
+
+
+def test_cli_loopy_engine(uai_files):
+    """Forced loopy engine: MAR close to exact on this tiny grid; PR within
+    Bethe tolerance; MPE well-formed."""
+    model, evid, f, s, v = uai_files
+    r = run_cli(str(model), "--task", "MAR", "--engine", "loopy",
+                "--evidence", str(evid))
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "MAR"
+    assert "loopy BP" in r.stderr
+    toks = lines[1].split()
+    card0 = int(toks[1])
+    p0 = [float(x) for x in toks[2:2 + card0]]
+    np.testing.assert_allclose(p0, [0.0, 1.0], atol=1e-5)
+
+    r = run_cli(str(model), "--task", "PR", "--engine", "loopy")
+    assert r.returncode == 0, r.stderr
+    (z,) = brute_force_marginals(f, s, v, [[]])
+    got = float(r.stdout.splitlines()[1])
+    np.testing.assert_allclose(got, np.log10(z), rtol=0.05)
+
+    r = run_cli(str(model), "--task", "MPE", "--engine", "loopy")
+    assert r.returncode == 0, r.stderr
+    toks = r.stdout.splitlines()[1].split()
+    assert int(toks[0]) == len(s)
+    assert all(0 <= int(x) < 2 for x in toks[1:])
