@@ -168,6 +168,64 @@ def bench_big_clique(batch=4096):
            xla_ms=round(dt_x * 1e3, 3))
 
 
+def bench_tree_map(batch=2048):
+    """General-tree batched MAP decoding (backpointers + traceback)."""
+    import jax
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import random_evidence_batch
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(6, 6, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    evs = random_evidence_batch(tree.plan, batch, list(sizes)[:6], seed=3)
+    masks = {}
+    for v in list(sizes)[:6]:
+        m = np.full((batch, 2), -np.inf, dtype=np.float32)
+        for b, ev in enumerate(evs):
+            m[b, ev[v]] = 0.0
+        masks[v] = m
+    # returns device arrays; steady() blocks on them (no host transfer --
+    # through the dev-chip tunnel a [B,36] device->host copy costs seconds
+    # and would swamp the 0.1 ms program)
+    dt, ct = steady(
+        lambda: eng.map_assignment_batch(masks), iters=10
+    )
+    log(f"# 6x6 grid batched MAP  B={batch}: {dt*1e3:.2f} ms/step  "
+        f"{batch/dt:,.0f} MAP/s  (compile {ct:.1f}s)")
+    record("6x6 grid batched MAP", round(batch / dt, 1), "MAP/s",
+           batch=batch, step_ms=round(dt * 1e3, 3))
+
+
+def bench_loopy(batch=256):
+    """Approximate inference scale demo: 30x30 grid (exact is infeasible
+    for the reference and painful for any junction-tree engine)."""
+    import jax
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(30, 30, coupling=0.3, seed=0)
+    eng = jt.LoopyEngine(factors, sizes, values, damping=0.5,
+                         max_iters=100, tol=0.0)
+    rng = np.random.default_rng(1)
+    masks = {}
+    for v in list(sizes)[:100]:
+        m = np.zeros((batch, 2), dtype=np.float32)
+        m[np.arange(batch), rng.integers(0, 2, batch)] = 1.0
+        masks[v] = m
+    dt, ct = steady(
+        lambda: eng.posterior_batch(masks)[:2], iters=3
+    )
+    iters = eng.max_iters
+    log(f"# 30x30 grid loopy BP  B={batch} x {iters} iters: "
+        f"{dt*1e3:.1f} ms  {batch*iters/dt:,.0f} iter-queries/s  "
+        f"(compile {ct:.1f}s)")
+    record("30x30 grid loopy BP (100 iters)", round(batch / dt, 1),
+           "queries/s", batch=batch, step_ms=round(dt * 1e3, 3))
+
+
 def main():
     fast = "--fast" in sys.argv
     json_all = None
@@ -178,7 +236,8 @@ def main():
     log(f"# device: {jax.devices()[0].device_kind}")
     qps = bench_grid_primary()
     if not fast:
-        for b in (bench_grid_8x8, bench_chain, bench_big_clique):
+        for b in (bench_grid_8x8, bench_chain, bench_big_clique,
+                  bench_tree_map, bench_loopy):
             try:
                 b()
             except Exception as e:  # secondary benches must not kill the run

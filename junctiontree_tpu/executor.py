@@ -1046,8 +1046,9 @@ class Engine:
                     (1, layout.card), dtype=jnp.float32
                 )
             assign, score = fn(logA, logmasks)
+            assign = np.asarray(assign)  # one device->host transfer
             out = {
-                plan.table.label_of(v): int(np.asarray(assign)[0, v])
+                plan.table.label_of(v): int(assign[0, v])
                 for v in range(plan.num_vars)
             }
             return out, float(np.asarray(score)[0])
@@ -1061,11 +1062,12 @@ class Engine:
             mk[0, int(state)] = 0.0
             masks[v] = mk
         assign_arr, score = self._tree_map_batch(masks)
+        assign_arr = np.asarray(assign_arr)  # one device->host transfer
         out = {
             plan.table.label_of(v): int(assign_arr[0, v])
             for v in range(plan.num_vars)
         }
-        return out, float(score[0])
+        return out, float(np.asarray(score)[0])
 
     def map_assignment_batch(self, mask_batch):
         """Batched MAP queries: exact max-product with backpointer traceback
@@ -1074,7 +1076,9 @@ class Engine:
         (map_executor.tree_map_program).
 
         ``mask_batch``: dict {var label: [B, size_v]} of LOG-space masks
-        (0 / -inf).  Returns (assignments [B, num_vars] int32, scores [B])."""
+        (0 / -inf).  Returns (assignments [B, num_vars] int32, scores [B])
+        as device arrays — call np.asarray on them to materialize on host
+        (kept on device so serving pipelines avoid the transfer)."""
         if self.semiring.name != "max_product":
             return self._max_delegate().map_assignment_batch(mask_batch)
         layout = self._chain_layout()
@@ -1101,8 +1105,7 @@ class Engine:
             logmasks[layout.var_order[0]] = jnp.zeros(
                 (1, layout.card), dtype=jnp.float32
             )
-        assign, score = fn(logA, logmasks)
-        return np.asarray(assign), np.asarray(score)
+        return fn(logA, logmasks)
 
     def _tree_map_batch(self, mask_batch):
         """General-tree batched MAP (max-product + traceback, tie-safe)."""
@@ -1123,8 +1126,7 @@ class Engine:
         if fn is None:
             fn = jax.jit(tree_map_program(plan, list(ids)))
             self._batched_cache[key] = fn
-        assign, score = fn(pots, [logmasks[v] for v in ids])
-        return np.asarray(assign), np.asarray(score)
+        return fn(pots, [logmasks[v] for v in ids])
 
     def _max_delegate(self) -> "Engine":
         """Cached max-product sibling engine for MAP queries from non-MAP
