@@ -208,7 +208,7 @@ def bench_loopy(batch=256):
 
     factors, sizes, values = grid_mrf_model(30, 30, coupling=0.3, seed=0)
     eng = jt.LoopyEngine(factors, sizes, values, damping=0.5,
-                         max_iters=100, tol=0.0)
+                         max_iters=100, tol=0.0, chunk_iters=100)
     rng = np.random.default_rng(1)
     masks = {}
     for v in list(sizes)[:100]:

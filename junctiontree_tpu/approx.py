@@ -37,6 +37,25 @@ from .labels import LabelTable, intern_factors
 _TINY = 1e-30
 
 
+class LoopyPosteriors:
+    """Lazy list-like view over [V, B, K] loopy-BP beliefs; ``[v]`` returns
+    the normalized [B, size_v] posterior for that var id on access."""
+
+    def __init__(self, b_v, sizes):
+        self._b_v = b_v
+        self._sizes = sizes
+
+    def __len__(self) -> int:
+        return len(self._sizes)
+
+    def __getitem__(self, v: int):
+        return self._b_v[v, :, : self._sizes[v]]
+
+    def __iter__(self):
+        for v in range(len(self)):
+            yield self[v]
+
+
 class LoopyEngine:
     """Loopy-BP engine over a factor graph (no triangulation).
 
@@ -53,7 +72,7 @@ class LoopyEngine:
         damping: float = 0.5,
         max_iters: int = 200,
         tol: float = 1e-6,
-        chunk_iters: int = 25,
+        chunk_iters: int = 50,
     ):
         self.table, self.factors, self.sizes = intern_factors(factors, sizes)
         if not self.factors:
@@ -80,14 +99,19 @@ class LoopyEngine:
                 self.bucket_factors.append([])
             self.bucket_factors[bucket_ix[sh]].append(fi)
 
-        # edge = (factor, position); id assigned bucket-major, position-major
+        # edge = (factor, position); ids assigned bucket-major,
+        # position-major — so every (bucket, position) owns a CONTIGUOUS id
+        # range.  That turns all message writes into concatenations and all
+        # reads into static slices (no scatter/gather in the hot loop).
         self.edge_var: List[int] = []
         self.bucket_eids: List[List[np.ndarray]] = []   # [b][p] -> [G] ids
+        self.bucket_estart: List[List[int]] = []        # [b][p] -> start id
         self.bucket_evars: List[List[np.ndarray]] = []  # [b][p] -> [G] vars
         for b, fis in enumerate(self.bucket_factors):
             arity = len(self.bucket_shapes[b])
-            eids, evars = [], []
+            eids, evars, starts = [], [], []
             for p in range(arity):
+                starts.append(len(self.edge_var))
                 ids = []
                 vs = []
                 for fi in fis:
@@ -98,9 +122,21 @@ class LoopyEngine:
                 eids.append(np.asarray(ids, dtype=np.int32))
                 evars.append(np.asarray(vs, dtype=np.int32))
             self.bucket_eids.append(eids)
+            self.bucket_estart.append(starts)
             self.bucket_evars.append(evars)
         self.E = len(self.edge_var)
         self.edge_var_arr = np.asarray(self.edge_var, dtype=np.int32)
+        # per-var incoming-edge table padded to max degree; the pad entry
+        # points at a sentinel all-ones row appended to the message tensor
+        deg = np.bincount(self.edge_var_arr, minlength=self.num_vars)
+        self.max_degree = int(deg.max()) if len(deg) else 0
+        self.inc_idx = np.full(
+            (self.num_vars, self.max_degree), self.E, dtype=np.int32
+        )
+        fill = np.zeros(self.num_vars, dtype=np.int64)
+        for e, v in enumerate(self.edge_var_arr):
+            self.inc_idx[v, fill[v]] = e
+            fill[v] += 1
         # lane validity per edge [E, K] and per var [V, K]
         esz = np.asarray([self.sizes[v] for v in self.edge_var])
         lanes = np.arange(self.K)[None, :]
@@ -139,43 +175,71 @@ class LoopyEngine:
         return self
 
     # ------------------------------------------------------------------
-    def _program(self, B: int, mode: str = "sum"):
-        """Jitted (masks [V,B,K], m [E,B,K]) -> (m', delta) one chunk of
+    def _program(self, B: int, mode: str = "sum", obs_ids: tuple = ()):
+        """Jitted (masks_obs [O,K,B], m [E,K,B]) -> (m', delta) one chunk of
         flooding iterations, plus a belief/readout program.
+
+        Only the observed variables' masks cross host->device ([O,K,B]);
+        the dense [V,K,B] mask tensor is built on device (one static
+        scatter) — per-query upload scales with the evidence, not the
+        model.
+
+        Internal layout is batch-LAST: the large batch axis sits on the
+        TPU's 128-lane dimension, so elementwise work over small-cardinality
+        variables (K=2..4) vectorizes fully instead of wasting 126/128 lanes.
+        The readout converts back to the external [V, B, K] contract.
 
         mode: "sum" = sum-product (posteriors + Bethe logZ), "max" =
         max-product (approximate MAP max-marginals; readout returns beliefs
         and a zero logZ placeholder)."""
         edge_var = jnp.asarray(self.edge_var_arr)
-        edge_lane = jnp.asarray(self.edge_lane)[:, None, :]  # [E,1,K]
-        var_lane = jnp.asarray(self.var_lane)[:, None, :]    # [V,1,K]
+        edge_lane = jnp.asarray(self.edge_lane)[:, :, None]  # [E,K,1]
+        var_lane = jnp.asarray(self.var_lane)[:, :, None]    # [V,K,1]
+        inc_idx = jnp.asarray(self.inc_idx)                  # [V,D]
         V, E, K = self.num_vars, self.E, self.K
         pots = self._pots
         damping = self.damping
         reduce_op = jnp.max if mode == "max" else jnp.sum
+        obs_arr = np.asarray(obs_ids, dtype=np.int32)
+
+        def dense_masks(masks_obs):
+            dm = jnp.ones((V, K, B), dtype=jnp.float32)
+            if len(obs_ids):
+                dm = dm.at[obs_arr].set(masks_obs)
+            return dm
 
         def var_to_factor(masks, m):
-            """v->f messages [E,B,K] from current f->v messages."""
-            prod = jax.ops.segment_prod(m, edge_var, num_segments=V)
+            """v->f messages [E,K,B] from current f->v messages."""
+            # per-var product over incoming edges via a padded-degree gather
+            # (segment_prod's scatter lowers poorly on TPU)
+            m_ext = jnp.concatenate(
+                [m, jnp.ones((1,) + m.shape[1:], m.dtype)], axis=0
+            )
+            prod = jnp.prod(m_ext[inc_idx], axis=1)  # [V,K,B]
             belief = masks * prod * var_lane + (1.0 - var_lane)
             v2f = belief[edge_var] / jnp.maximum(m, _TINY)
-            s = jnp.sum(v2f * edge_lane, axis=-1, keepdims=True)
+            s = jnp.sum(v2f * edge_lane, axis=1, keepdims=True)
             return jnp.where(
                 edge_lane > 0, v2f / jnp.maximum(s, _TINY), 1.0
             )
 
         def factor_to_var(v2f, m_old):
-            """One flooding update of all f->v messages."""
-            m_new = jnp.ones_like(m_old)
+            """One flooding update of all f->v messages.
+
+            Edge ids are contiguous per (bucket, position), so the new
+            message tensor is a concatenation of per-position blocks — no
+            scatter."""
+            pieces = []
             for b, sh in enumerate(self.bucket_shapes):
                 arity = len(sh)
                 G = len(self.bucket_factors[b])
-                pot = pots[b][:, None]  # [G,1,*sh]
+                pot = pots[b][..., None]  # [G,*sh,1]
                 ins = []
                 for p in range(arity):
-                    rows = v2f[self.bucket_eids[b][p]][:, :, : sh[p]]
-                    shape = [G, -1] + [1] * arity
-                    shape[2 + p] = sh[p]
+                    st = self.bucket_estart[b][p]
+                    rows = v2f[st:st + G, : sh[p], :]
+                    shape = [G] + [1] * arity + [-1]
+                    shape[1 + p] = sh[p]
                     ins.append(rows.reshape(shape))
                 # leave-one-out prefix/suffix products
                 prefix = [None] * arity
@@ -194,20 +258,27 @@ class LoopyEngine:
                         acc = acc * prefix[p]
                     if suffix[p] is not None:
                         acc = acc * suffix[p]
-                    red = tuple(2 + a for a in range(arity) if a != p)
+                    red = tuple(1 + a for a in range(arity) if a != p)
                     out = reduce_op(acc, axis=red) if red else acc
-                    s = jnp.sum(out, axis=-1, keepdims=True)
-                    out = out / jnp.maximum(s, _TINY)
+                    s = jnp.sum(out, axis=1, keepdims=True)
+                    out = out / jnp.maximum(s, _TINY)  # [G, size_p, B?]
                     if sh[p] < K:
                         out = jnp.pad(
                             out,
-                            ((0, 0), (0, 0), (0, K - sh[p])),
+                            ((0, 0), (0, K - sh[p]), (0, 0)),
                             constant_values=1.0,
                         )
-                    m_new = m_new.at[self.bucket_eids[b][p]].set(out)
+                    # unary factors have batch-free messages (leave-one-out
+                    # excludes their only input); make every block [G,K,B]
+                    pieces.append(
+                        jnp.broadcast_to(out, (G, K, v2f.shape[-1]))
+                    )
+            m_new = jnp.concatenate(pieces, axis=0)
             return damping * m_old + (1.0 - damping) * m_new
 
-        def chunk(masks, m):
+        def chunk(masks_obs, m):
+            masks = dense_masks(masks_obs)
+
             def body(m, _):
                 v2f = var_to_factor(masks, m)
                 m2 = factor_to_var(v2f, m)
@@ -218,31 +289,40 @@ class LoopyEngine:
             )
             return m, deltas[-1]
 
-        def readout(masks, m):
-            """(var marginals [V,B,K], logZ_bethe [B])."""
-            prod = jax.ops.segment_prod(m, edge_var, num_segments=V)
+        def readout(masks_obs, m):
+            """(var marginals [V,B,K] (external layout), logZ_bethe [B])."""
+            masks = dense_masks(masks_obs)
+            m_ext = jnp.concatenate(
+                [m, jnp.ones((1,) + m.shape[1:], m.dtype)], axis=0
+            )
+            prod = jnp.prod(m_ext[inc_idx], axis=1)
             belief = masks * prod * var_lane
-            bsum = jnp.sum(belief, axis=-1, keepdims=True)
-            b_v = belief / jnp.maximum(bsum, _TINY)
+            bsum = jnp.sum(belief, axis=1, keepdims=True)
+            b_v = belief / jnp.maximum(bsum, _TINY)  # [V,K,B]
+            B_ = belief.shape[-1]
             if mode == "max":  # max-marginals only; no Bethe free energy
-                return b_v, jnp.zeros((belief.shape[1],), belief.dtype)
+                return (
+                    jnp.swapaxes(b_v, 1, 2),
+                    jnp.zeros((B_,), belief.dtype),
+                )
             v2f = var_to_factor(masks, m)
 
-            logz = jnp.zeros((belief.shape[1],), dtype=belief.dtype)
+            logz = jnp.zeros((B_,), dtype=belief.dtype)
             xlogy = lambda p, q: jnp.where(
                 p > _TINY, p * jnp.log(jnp.maximum(q, _TINY)), 0.0
             )
             for b, sh in enumerate(self.bucket_shapes):
                 arity = len(sh)
                 G = len(self.bucket_factors[b])
-                pot = pots[b][:, None]
+                pot = pots[b][..., None]
                 acc = pot
                 for p in range(arity):
-                    rows = v2f[self.bucket_eids[b][p]][:, :, : sh[p]]
-                    shape = [G, -1] + [1] * arity
-                    shape[2 + p] = sh[p]
+                    st = self.bucket_estart[b][p]
+                    rows = v2f[st:st + G, : sh[p], :]
+                    shape = [G] + [1] * arity + [-1]
+                    shape[1 + p] = sh[p]
                     acc = acc * rows.reshape(shape)
-                axes = tuple(range(2, 2 + arity))
+                axes = tuple(range(1, 1 + arity))
                 z_f = jnp.sum(acc, axis=axes, keepdims=True)
                 b_f = acc / jnp.maximum(z_f, _TINY)
                 # sum_f E_{b_f}[log pot_f - log b_f]
@@ -251,17 +331,19 @@ class LoopyEngine:
                 )
                 logz = logz + jnp.sum(term, axis=(0,) + axes).reshape(-1)
             # + sum_v E_{b_v}[log mask_v] + (d_v - 1) E[log b_v]
-            logz = logz + jnp.sum(xlogy(b_v, masks), axis=(0, 2))
+            logz = logz + jnp.sum(xlogy(b_v, masks), axis=(0, 1))
             dv = jnp.asarray(self.degree)[:, None, None] - 1.0
-            logz = logz + jnp.sum(dv * xlogy(b_v, b_v), axis=(0, 2))
-            return b_v, logz
+            logz = logz + jnp.sum(dv * xlogy(b_v, b_v), axis=(0, 1))
+            return jnp.swapaxes(b_v, 1, 2), logz
 
         return jax.jit(chunk), jax.jit(readout)
 
     # ------------------------------------------------------------------
-    def _masks_tensor(self, mask_batch, B: int) -> jnp.ndarray:
-        """Dict {var label or id: [B, size]} -> dense [V, B, K] (pad=1)."""
-        out = np.ones((self.num_vars, B, self.K), dtype=np.float32)
+    def _stack_obs_masks(self, mask_batch, B: int):
+        """Dict {var label or id: [B, size]} -> (obs_ids tuple sorted,
+        stacked [O, K, B] numpy masks, pad=1).  Only observed variables
+        cross host->device."""
+        by_id = {}
         for k, m in mask_batch.items():
             vid = k if isinstance(k, int) else self.table.id_of(k)
             m = np.asarray(m, dtype=np.float32)
@@ -270,8 +352,12 @@ class LoopyEngine:
                     f"mask for {k}: expected {(B, self.sizes[vid])}, "
                     f"got {m.shape}"
                 )
-            out[vid, :, : self.sizes[vid]] = m
-        return jnp.asarray(out)
+            by_id[vid] = m if vid not in by_id else by_id[vid] * m
+        obs_ids = tuple(sorted(by_id))
+        out = np.ones((len(obs_ids), self.K, B), dtype=np.float32)
+        for i, vid in enumerate(obs_ids):
+            out[i, : self.sizes[vid], :] = by_id[vid].T
+        return obs_ids, out
 
     def posterior_batch(
         self, mask_batch: Dict, batch: Optional[int] = None
@@ -288,26 +374,30 @@ class LoopyEngine:
                 raise ValueError("pass batch= when mask_batch is empty")
             batch = int(next(iter(mask_batch.values())).shape[0])
         b_v, logz, info = self._run(mask_batch, batch, mode="sum")
-        margs = [b_v[v, :, : self.sizes[v]] for v in range(self.num_vars)]
-        return margs, logz, info
+        # lazy per-var view: slicing all V vars eagerly would dispatch V
+        # device ops per query even when the caller reads a handful
+        return LoopyPosteriors(b_v, self.sizes), logz, info
 
     def _run(self, mask_batch, batch: int, mode: str):
-        key = ("prog", batch, mode)
+        obs_ids, masks_np = self._stack_obs_masks(mask_batch, batch)
+        key = ("prog", batch, mode, obs_ids)
         if key not in self._cache:
-            self._cache[key] = self._program(batch, mode)
+            self._cache[key] = self._program(batch, mode, obs_ids)
         chunk, readout = self._cache[key]
-        masks = self._masks_tensor(mask_batch, batch)
-        m = jnp.ones((self.E, batch, self.K), dtype=jnp.float32)
+        masks = jnp.asarray(masks_np)
+        m = jnp.ones((self.E, self.K, batch), dtype=jnp.float32)
         iters = 0
-        delta = np.inf
+        d = None
         while iters < self.max_iters:
             m, d = chunk(masks, m)
             iters += self.chunk_iters
-            delta = float(d)
-            if delta < self.tol:
+            # tol<=0 disables early exit, so skip the per-chunk device->host
+            # delta read — each sync costs real latency (pathological through
+            # remote-attached chips); the final delta is read once below
+            if self.tol > 0 and float(d) < self.tol:
                 break
         b_v, logz = readout(masks, m)
-        return b_v, logz, {"iters": iters, "delta": delta}
+        return b_v, logz, {"iters": iters, "delta": float(d)}
 
     def map_assignment_batch(
         self, mask_batch: Dict, batch: Optional[int] = None
@@ -331,7 +421,12 @@ class LoopyEngine:
             dtype=np.int32,
         ).T  # [B, V]
         # score the decoded assignments: sum of log potentials + log masks
-        masks_np = np.asarray(self._masks_tensor(mask_batch, batch))
+        obs_ids, obs_np = self._stack_obs_masks(mask_batch, batch)
+        masks_np = np.ones(
+            (self.num_vars, self.K, batch), dtype=np.float32
+        )
+        if obs_ids:
+            masks_np[list(obs_ids)] = obs_np
         scores = np.zeros(batch, dtype=np.float64)
         with np.errstate(divide="ignore"):
             for b, fis in enumerate(self.bucket_factors):
@@ -348,8 +443,8 @@ class LoopyEngine:
                 ).sum(axis=1)
             vidx = np.arange(self.num_vars)
             scores += np.log(
-                masks_np[vidx[None, :], np.arange(batch)[:, None],
-                         assign]
+                masks_np[vidx[None, :], assign,
+                         np.arange(batch)[:, None]]
             ).sum(axis=1)
         return assign, scores, info
 
