@@ -21,18 +21,25 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def steady(fn, *args, iters=20):
+def steady(fn, *args, iters=20, rounds=3):
+    """Steady-state time per call: best of ``rounds`` averaged windows.
+
+    The shared dev chip shows ~2x run-to-run load variance; the best window
+    is the least-contended measurement of the program itself."""
     import jax
 
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
     compile_t = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, compile_t
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, compile_t
 
 
 RESULTS: list = []  # secondary results for --json-all

@@ -73,7 +73,14 @@ class LoopyEngine:
         max_iters: int = 200,
         tol: float = 1e-6,
         chunk_iters: int = 50,
+        mesh=None,
+        batch_axis: str = "batch",
     ):
+        """mesh/batch_axis: optional jax.sharding.Mesh — the evidence batch
+        (trailing axis of the internal message layout) is sharded over
+        ``batch_axis`` and XLA GSPMD partitions every flooding iteration
+        (pure data parallelism: no cross-device collectives until the
+        caller aggregates)."""
         self.table, self.factors, self.sizes = intern_factors(factors, sizes)
         if not self.factors:
             raise ValueError("need at least one factor")
@@ -83,6 +90,8 @@ class LoopyEngine:
         self.max_iters = int(max_iters)
         self.tol = float(tol)
         self.chunk_iters = int(chunk_iters)
+        self.mesh = mesh
+        self.batch_axis = batch_axis
         self.num_vars = len(self.sizes)
         self.K = max(self.sizes)
 
@@ -386,6 +395,12 @@ class LoopyEngine:
         chunk, readout = self._cache[key]
         masks = jnp.asarray(masks_np)
         m = jnp.ones((self.E, self.K, batch), dtype=jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, None, self.batch_axis))
+            masks = jax.device_put(masks, sh)
+            m = jax.device_put(m, sh)
         iters = 0
         d = None
         while iters < self.max_iters:

@@ -153,6 +153,38 @@ def test_loopy_map_batch_and_infeasible():
     assert scores[1] == -np.inf
 
 
+def test_loopy_sharded_batch_matches_unsharded():
+    """DP over the evidence batch on an 8-virtual-device mesh: identical
+    results, batch axis actually sharded."""
+    import jax
+    from jax.sharding import Mesh
+
+    factors, sizes = grid_mrf(2, 3)
+    values = random_values(factors, sizes, seed=21)
+    B = 16
+    rng = np.random.default_rng(5)
+    m00 = np.zeros((B, 2), dtype=np.float32)
+    m00[np.arange(B), rng.integers(0, 2, B)] = 1.0
+
+    plain = LoopyEngine(factors, sizes, values, damping=0.3, tol=1e-11)
+    margs0, logz0, _ = plain.posterior_batch({"g0_0": m00})
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    sharded = LoopyEngine(
+        factors, sizes, values, damping=0.3, tol=1e-11, mesh=mesh
+    )
+    margs1, logz1, _ = sharded.posterior_batch({"g0_0": m00})
+    np.testing.assert_allclose(
+        np.asarray(logz1), np.asarray(logz0), rtol=1e-6
+    )
+    for v in range(plain.num_vars):
+        np.testing.assert_allclose(
+            np.asarray(margs1[v]), np.asarray(margs0[v]), atol=1e-6
+        )
+    # the batch axis of the result is distributed over the mesh
+    assert len(logz1.sharding.device_set) == 8
+
+
 def test_loopy_errors():
     factors, sizes = chain_bn(3)
     values = random_values(factors, sizes, seed=1)
