@@ -185,9 +185,11 @@ def compile_plan(
     back to pure Python; "native" / "python" force a path.
 
     heuristic: elimination-order heuristic — 'min_fill' (reference parity,
-    default), 'min_degree', 'min_weight', or 'portfolio' (run all three in
-    Python and keep the smallest total clique state space; ignores the
-    native backend)."""
+    default), 'min_degree', 'min_weight', 'portfolio[N]' (run all three plus
+    N randomized restarts, keep the smallest total clique state space), or
+    'anneal[S]' (portfolio seed + simulated annealing over elimination
+    orders for S seconds, default 2 — best quality, one-time compile cost;
+    both ignore the native backend)."""
     table, int_factors, int_sizes = intern_factors(factors, sizes)
     if not int_factors:
         raise ValueError("need at least one factor")
@@ -196,7 +198,16 @@ def compile_plan(
 
     tri = None
     tree = None
-    if heuristic.startswith("portfolio"):
+    if heuristic.startswith("anneal"):
+        from .triangulate import anneal_triangulation
+
+        suffix = heuristic[len("anneal"):]
+        budget = float(suffix) if suffix else 2.0
+        tri = anneal_triangulation(
+            int_factors, int_sizes, time_budget_s=budget
+        )
+        tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
+    elif heuristic.startswith("portfolio"):
         from .triangulate import portfolio_triangulation
 
         # "portfolio" = 3 greedy heuristics; "portfolioN" adds N randomized

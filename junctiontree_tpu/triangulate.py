@@ -181,8 +181,18 @@ def min_fill_triangulation(
             if v in remaining:
                 rescore(v)
 
-    # assign each factor to its smallest-weight containing maxclique;
-    # empty-scope (scalar) factors get -1 and are folded in as global scale
+    return _finish_triangulation(
+        factors, sizes, maxcliques, clique_sets, var_in_cliques,
+        elim_order, fill_edges,
+    )
+
+
+def _finish_triangulation(
+    factors, sizes, maxcliques, clique_sets, var_in_cliques,
+    elim_order, fill_edges,
+) -> Triangulation:
+    """Shared tail: assign each factor to its smallest-weight containing
+    maxclique (empty-scope factors get -1) and package the result."""
     clique_weights = [1 for _ in maxcliques]
     for ci, c in enumerate(maxcliques):
         w = 1
@@ -217,6 +227,149 @@ def min_fill_triangulation(
         fill_edges=fill_edges,
         treewidth=treewidth,
     )
+
+
+def triangulation_from_order(
+    factors: Sequence[Sequence[int]],
+    sizes: Sequence[int],
+    order: Sequence[int],
+) -> Triangulation:
+    """Eliminate variables in the GIVEN order (same clique extraction and
+    factor assignment as the greedy path).  The workhorse for annealing and
+    for replaying a saved elimination order."""
+    num_vars = len(sizes)
+    adj = build_adjacency(factors, num_vars)
+    remaining: Set[int] = set(range(num_vars))
+    maxcliques: List[List[int]] = []
+    clique_sets: List[Set[int]] = []
+    var_in_cliques: List[List[int]] = [[] for _ in range(num_vars)]
+    fill_edges: List[Tuple[int, int]] = []
+    for best in order:
+        nbrs = [u for u in adj[best] if u in remaining]
+        cluster = set(nbrs)
+        cluster.add(best)
+        for i, u in enumerate(nbrs):
+            for w in nbrs[i + 1:]:
+                if w not in adj[u]:
+                    adj[u].add(w)
+                    adj[w].add(u)
+                    fill_edges.append((u, w) if u < w else (w, u))
+        for u in nbrs:
+            adj[u].discard(best)
+        remaining.discard(best)
+        for ci in var_in_cliques[best]:
+            if cluster <= clique_sets[ci]:
+                break
+        else:
+            ci_new = len(clique_sets)
+            clique_sets.append(cluster)
+            maxcliques.append(sorted(cluster))
+            for v in cluster:
+                var_in_cliques[v].append(ci_new)
+    if remaining:
+        raise ValueError("order must eliminate every variable exactly once")
+    return _finish_triangulation(
+        factors, sizes, maxcliques, clique_sets, var_in_cliques,
+        list(order), fill_edges,
+    )
+
+
+def _order_cost(
+    factors: Sequence[Sequence[int]],
+    sizes: Sequence[int],
+    order: Sequence[int],
+) -> float:
+    """log total clique state space of eliminating in the given order
+    (cheap simulation: no clique/fill bookkeeping)."""
+    import math
+
+    num_vars = len(sizes)
+    adj = build_adjacency(factors, num_vars)
+    remaining = [True] * num_vars
+    total = 0
+    for best in order:
+        nbrs = [u for u in adj[best] if remaining[u]]
+        w = sizes[best]
+        for u in nbrs:
+            w *= sizes[u]
+        total += w
+        for i, u in enumerate(nbrs):
+            au = adj[u]
+            for x in nbrs[i + 1:]:
+                if x not in au:
+                    au.add(x)
+                    adj[x].add(u)
+            au.discard(best)
+        remaining[best] = False
+    return math.log(max(total, 1))
+
+
+def anneal_triangulation(
+    factors: Sequence[Sequence[int]],
+    sizes: Sequence[int],
+    time_budget_s: float = 2.0,
+    seed: int = 0,
+    init: Triangulation = None,
+) -> Triangulation:
+    """Simulated annealing over elimination orders (Kjaerulff-style).
+
+    Starts from the portfolio winner (or ``init``), proposes random
+    position moves of single variables, and accepts by Metropolis on the
+    log total clique state space with a geometric temperature schedule.
+    Greedy min-fill is typically 2-6 above the optimal treewidth on grids
+    (SURVEY.md §6: the reference's 8x8 grid blows up to 2^18 states);
+    annealing reliably recovers most of that gap at a bounded, one-time
+    compile cost."""
+    import math
+    import time as _time
+
+    import numpy as np
+
+    if init is None:
+        init = portfolio_triangulation(factors, sizes, random_restarts=8)
+    order = list(init.elimination_order)
+    n = len(order)
+    if n < 3:
+        return init
+    rng = np.random.default_rng(seed)
+    cost = _order_cost(factors, sizes, order)
+    best_order = list(order)
+    best_cost = cost
+    t_end = _time.perf_counter() + time_budget_s
+    # costs are log(total states): typical useful deltas are 1e-3..1e-1,
+    # so temperatures must sit well below that or SA random-walks
+    T0, T1 = 0.02, 5e-4
+    # estimate a step budget from a few timed evaluations, then anneal
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        _order_cost(factors, sizes, order)
+    per_eval = max((_time.perf_counter() - t0) / 3, 1e-6)
+    steps = max(20, int((t_end - _time.perf_counter()) / per_eval))
+    for s in range(steps):
+        if _time.perf_counter() > t_end:
+            break
+        T = T0 * (T1 / T0) ** (s / max(steps - 1, 1))
+        i = int(rng.integers(n))
+        # mostly local relocations (cheap, fine-grained), occasional jumps
+        if rng.random() < 0.8:
+            j = min(n - 1, max(0, i + int(rng.integers(-6, 7))))
+        else:
+            j = int(rng.integers(n))
+        if i == j:
+            continue
+        prop = list(order)
+        v = prop.pop(i)
+        prop.insert(j, v)
+        c = _order_cost(factors, sizes, prop)
+        if c <= cost or rng.random() < math.exp((cost - c) / T):
+            order, cost = prop, c
+            if cost < best_cost:
+                best_order, best_cost = list(order), cost
+    tri = triangulation_from_order(factors, sizes, best_order)
+    # never worse than the starting point
+    if total_states(tri, sizes) <= total_states(init, sizes):
+        return tri
+    return init
 
 
 def total_states(tri: Triangulation, sizes: Sequence[int]) -> int:

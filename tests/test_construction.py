@@ -173,3 +173,48 @@ def test_randomized_portfolio_not_worse():
     expect = brute_force_marginals(factors, sizes, values, factors)
     for o, e in zip(out, expect):
         np.testing.assert_allclose(o, e, rtol=1e-6)
+
+
+def test_triangulation_from_order_matches_greedy():
+    """Replaying a greedy order through triangulation_from_order gives the
+    identical triangulation."""
+    from junctiontree_tpu.labels import intern_factors
+    from junctiontree_tpu.triangulate import (
+        min_fill_triangulation,
+        triangulation_from_order,
+    )
+
+    factors, sizes = grid_mrf(4, 5)
+    _, int_factors, int_sizes = intern_factors(factors, sizes)
+    a = min_fill_triangulation(int_factors, int_sizes)
+    b = triangulation_from_order(int_factors, int_sizes, a.elimination_order)
+    assert a.maxcliques == b.maxcliques
+    assert a.factor_to_maxclique == b.factor_to_maxclique
+    assert sorted(a.fill_edges) == sorted(b.fill_edges)
+
+    with pytest.raises(ValueError):
+        triangulation_from_order(int_factors, int_sizes, [0, 0, 1])
+
+
+def test_anneal_not_worse_and_correct():
+    """anneal (SA over elimination orders) never yields a larger total
+    state space than the portfolio seed; inference stays exact."""
+    factors, sizes = grid_mrf(7, 7)
+    a = compile_plan(factors, sizes, heuristic="portfolio4")
+    b = compile_plan(factors, sizes, heuristic="anneal1.5")
+    assert (
+        b.stats()["total_clique_states"] <= a.stats()["total_clique_states"]
+    )
+    check_triangulation(b)
+    check_running_intersection(b)
+
+    import junctiontree_tpu as jt
+    from .util import brute_force_marginals, random_values
+
+    factors, sizes = grid_mrf(3, 3)
+    values = random_values(factors, sizes, seed=2)
+    plan = compile_plan(factors, sizes, heuristic="anneal0.5")
+    out = jt.Engine(plan).propagate(values)
+    expect = brute_force_marginals(factors, sizes, values, factors)
+    for o, e in zip(out, expect):
+        np.testing.assert_allclose(o, e, rtol=1e-6)
