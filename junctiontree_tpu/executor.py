@@ -660,6 +660,7 @@ class Engine:
         self._fused_stack = None             # prestacked fused group pots
         self._max_engine: Optional["Engine"] = None  # cached MAP delegate
         self._pots_np: Optional[List[np.ndarray]] = None
+        self._mask_sharding = None  # set by shard_batch()
 
     def _chain_layout(self):
         if self._chain is None:
@@ -811,6 +812,20 @@ class Engine:
             self._batched_cache[ids] = fn
         return fn(pots, masks)
 
+    def shard_batch(self, mesh, axis: str = "batch") -> "Engine":
+        """Data-parallel serving: shard every batched query's evidence-mask
+        batch axis over ``mesh`` — XLA GSPMD then partitions all batched
+        programs (query_batch / posterior_batch / map_assignment_batch)
+        across the devices with no code changes (the per-chip program is
+        identical; results come back sharded the same way).
+
+        The reference is strictly single-threaded (SURVEY.md §2.3); here DP
+        is one annotation."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self._mask_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
+        return self
+
     def _masks_to_program_args(self, mask_batch):
         if isinstance(mask_batch, dict):
             ids = sorted(self.plan.table.id_of(k) for k in mask_batch)
@@ -819,6 +834,8 @@ class Engine:
         else:
             ids = list(range(self.plan.num_vars))
             masks = [jnp.asarray(m) for m in mask_batch]
+        if self._mask_sharding is not None:
+            masks = [jax.device_put(m, self._mask_sharding) for m in masks]
         batch_sizes = {int(m.shape[0]) for m in masks}
         if len(batch_sizes) > 1:
             raise ValueError(
@@ -1120,6 +1137,11 @@ class Engine:
         }
         if not logmasks:
             logmasks[0] = jnp.zeros((1, plan.sizes[0]), dtype=jnp.float32)
+        if self._mask_sharding is not None:
+            logmasks = {
+                k: jax.device_put(v, self._mask_sharding)
+                for k, v in logmasks.items()
+            }
         ids = tuple(sorted(logmasks))
         key = ("tree_map", ids)
         fn = self._batched_cache.get(key)

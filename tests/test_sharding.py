@@ -85,3 +85,32 @@ def test_shardmap_collective_aggregate(setup):
     np.testing.assert_allclose(
         float(mean_logz), np.log(np.asarray(z_u)).mean(), rtol=1e-10
     )
+
+
+def test_engine_shard_batch_posterior_and_map(setup):
+    """Engine.shard_batch: one annotation data-parallelizes posterior_batch
+    and map_assignment_batch — results identical, outputs sharded."""
+    factors, sizes, values, tree, eng, evs, mb = setup
+    from junctiontree_tpu.evidence import batch_masks_sparse
+
+    sp = {k: jnp.asarray(v)
+          for k, v in batch_masks_sparse(tree.plan, evs).items()}
+    post_u, logz_u = eng.posterior_batch(sp)
+
+    eng2 = jt.Engine(tree.plan).set_potentials(values).shard_batch(make_mesh())
+    post_s, logz_s = eng2.posterior_batch(sp)
+    np.testing.assert_allclose(
+        np.asarray(logz_s), np.asarray(logz_u), rtol=1e-10
+    )
+    for a, b in zip(post_s, post_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+    assert len(logz_s.sharding.device_set) == 8
+
+    # batched MAP through the same annotation
+    B = 16
+    m = np.full((B, 2), -np.inf, dtype=np.float32)
+    m[np.arange(B), np.arange(B) % 2] = 0.0
+    a_u, s_u = eng.map_assignment_batch({"g0_0": m})
+    a_s, s_s = eng2.map_assignment_batch({"g0_0": m})
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_u), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_u))
