@@ -200,3 +200,40 @@ def test_separator_beliefs_are_marginals():
         np.testing.assert_allclose(
             np.asarray(sep_beliefs[s]), expect, rtol=1e-5, atol=1e-6
         )
+
+
+def test_soft_virtual_evidence():
+    """Masks are arbitrary nonneg per-state weights, so soft (virtual)
+    evidence is native: query with a likelihood vector L on one variable
+    equals adding a unary factor L to the model (Pearl's virtual evidence).
+
+    The reference can only condition by slicing axes (hard evidence)."""
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+
+    factors, sizes = grid_mrf(2, 2)
+    values = random_values(factors, sizes, seed=31)
+    eng = jt.create_junction_tree(factors, sizes).engine().set_potentials(values)
+
+    L = np.array([0.7, 0.2])
+    post, logz = eng.posterior_batch(
+        {"g0_0": jnp.asarray(L[None, :], dtype=jnp.float32)}
+    )
+
+    # oracle: same model with L as an extra unary factor
+    factors2 = factors + [["g0_0"]]
+    values2 = values + [L]
+    expect = brute_force_marginals(
+        factors2, sizes, values2, [[v] for v in sizes]
+    )
+    z2 = brute_force_marginals(factors2, sizes, values2, [[]])[0]
+    plan = eng.plan
+    for i, v in enumerate(sizes):
+        got = np.asarray(post[plan.table.id_of(v)])[0]
+        np.testing.assert_allclose(
+            got, expect[i] / expect[i].sum(), rtol=1e-5, atol=1e-7
+        )
+    np.testing.assert_allclose(
+        float(np.asarray(logz)[0]), np.log(z2), rtol=1e-5
+    )
