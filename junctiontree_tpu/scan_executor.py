@@ -126,19 +126,24 @@ def chain_posterior_program(plan: Plan, layout: ChainLayout):
 
     ``A``: prestacked [m, K, K] transitions (``stack_chain_potentials``),
     linear space.  ``masks``: dict var_id -> [B, K] linear-space mask
-    (observed vars only)."""
+    (observed vars only), or a prestacked [m+1, B, K] mask tensor in chain
+    order (dense evidence, e.g. training data — avoids O(chain) scatters)."""
     m = len(layout.clique_order)
     K = layout.card
 
-    def fn(A: jnp.ndarray, masks: Dict[int, jnp.ndarray]):
-        B = next(iter(masks.values())).shape[0] if masks else 1
+    def fn(A: jnp.ndarray, masks):
         dtype = A.dtype
-        # stacked masks [m+1, B, K]: ones everywhere, scatter the (few)
-        # observed variables — O(observed) traced ops, not O(chain length)
-        chain_pos = {v: k for k, v in enumerate(layout.var_order)}
-        M = jnp.ones((m + 1, B, K), dtype=dtype)
-        for v, mk in masks.items():
-            M = M.at[chain_pos[v]].set(jnp.asarray(mk, dtype=dtype))
+        if isinstance(masks, dict):
+            B = next(iter(masks.values())).shape[0] if masks else 1
+            # stacked masks [m+1, B, K]: ones everywhere, scatter the (few)
+            # observed variables — O(observed) traced ops, not O(chain length)
+            chain_pos = {v: k for k, v in enumerate(layout.var_order)}
+            M = jnp.ones((m + 1, B, K), dtype=dtype)
+            for v, mk in masks.items():
+                M = M.at[chain_pos[v]].set(jnp.asarray(mk, dtype=dtype))
+        else:
+            M = jnp.asarray(masks, dtype=dtype)
+            B = M.shape[1]
 
         def fwd_step(carry, inp):
             F, off = carry

@@ -193,3 +193,75 @@ def test_fit_mle_missing_improves_and_matches_complete():
     )
     for f_m, t_m in zip(fitted, truth):
         np.testing.assert_allclose(f_m, t_m, atol=0.07)
+
+
+def test_fit_mle_chain_matches_general():
+    """Chain-specialized learner = general missing-data learner (same
+    objective) on a small chain, complete + missing data."""
+    import jax.numpy as jnp
+
+    from junctiontree_tpu.learn_chain import fit_mle_chain
+
+    factors, sizes, values = _cpd_chain(5, seed=31)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    import jax
+
+    data = np.array(engine_sample(eng, jax.random.PRNGKey(9), 600))
+    rng = np.random.default_rng(2)
+    data = np.where(rng.random(data.shape) < 0.25, -1, data)
+    plan = tree.plan
+
+    th_a, hist_a = fit_mle_chain(plan, data, steps=120, learning_rate=0.1)
+    th_b, hist_b = fit_mle_missing(plan, data, steps=120, learning_rate=0.1)
+    # both reach the same optimum of the same objective
+    np.testing.assert_allclose(hist_a[-1], hist_b[-1], atol=5e-3)
+    assert hist_a[-1] > hist_a[0]
+    # and the fitted observable models agree
+    ma = model_marginals(plan, th_a)
+    mb = model_marginals(plan, th_b)
+    for a, b in zip(ma, mb):
+        np.testing.assert_allclose(a, b, atol=0.02)
+
+
+def test_fit_mle_chain_long_compiles_fast():
+    """1000-var chain: the packed/scan learner compiles in seconds (the
+    generic learner would trace 1000+ ops and take minutes)."""
+    import time
+
+    from junctiontree_tpu.learn_chain import fit_mle_chain
+    from junctiontree_tpu.models import chain_bn_model
+
+    n = 1000
+    factors, sizes, values = chain_bn_model(n, seed=3)
+    tree = jt.create_junction_tree(factors, sizes)
+    # ancestral sampling host-side (engine_sample would compile the
+    # unrolled program — exactly what this test avoids)
+    rng = np.random.default_rng(0)
+    N = 64
+    plan = tree.plan
+    data = np.zeros((N, n), dtype=np.int64)
+    cpd0 = np.asarray(values[0]) / np.asarray(values[0]).sum()
+    col = rng.choice(2, size=N, p=cpd0)
+    data[:, plan.table.id_of("x0")] = col
+    for i in range(1, n):
+        t = np.asarray(values[i])
+        t = t / t.sum(axis=-1, keepdims=True)
+        u = rng.random(N)
+        col = (u > t[col, 0]).astype(np.int64)
+        data[:, plan.table.id_of(f"x{i}")] = col
+    t0 = time.time()
+    thetas, hist = fit_mle_chain(tree.plan, data, steps=8, learning_rate=0.2)
+    dt = time.time() - t0
+    assert hist[-1] > hist[0]
+    assert len(thetas) == len(factors)
+    assert dt < 120, f"chain learner too slow: {dt:.0f}s"
+
+
+def test_fit_mle_chain_rejects_non_chain():
+    from junctiontree_tpu.learn_chain import fit_mle_chain
+
+    factors, sizes = grid_mrf(2, 2)
+    plan = jt.compile_plan(factors, sizes)
+    with pytest.raises(ValueError, match="chain"):
+        fit_mle_chain(plan, np.zeros((1, 4), dtype=int))
