@@ -682,11 +682,16 @@ class Engine:
     def set_potentials(
         self, values: Sequence[np.ndarray], dtype=np.float64
     ) -> "Engine":
+        from .utils.timing import TIMERS
+
         vals = [np.asarray(v, dtype=np.float64) for v in values]
         if self.semiring.is_log:
             with np.errstate(divide="ignore"):
                 vals = [np.log(v) for v in vals]
-        pots = evaluate_cliques_np(self.plan, vals, self.semiring, dtype=dtype)
+        with TIMERS.phase("engine.evaluate"):
+            pots = evaluate_cliques_np(
+                self.plan, vals, self.semiring, dtype=dtype
+            )
         # device_put canonicalizes float64 -> float32 unless jax_enable_x64
         self._pots_np = pots
         self._pots = [jax.device_put(p) for p in pots]
@@ -702,6 +707,11 @@ class Engine:
         if self._pots is None:
             raise RuntimeError("call set_potentials(values) before querying")
         return self._pots
+
+    def _require_pots_np(self):
+        if self._pots_np is None:
+            raise RuntimeError("call set_potentials(values) before querying")
+        return self._pots_np
 
     # -- checkpoint/resume of the full serving state (SURVEY.md §5: the
     # reference has nothing serializable at all; Plan.to_json covers the
@@ -744,6 +754,8 @@ class Engine:
 
     def describe(self) -> dict:
         """Introspection: plan stats + which execution tiers are engaged."""
+        from .utils.timing import TIMERS
+
         st = self.plan.stats()
         st["semiring"] = self.semiring.name
         st["potentials_set"] = self._pots is not None
@@ -751,6 +763,7 @@ class Engine:
         st["cached_programs"] = sorted(
             str(k[0]) for k in self._batched_cache
         )
+        st["phase_totals_s"] = TIMERS.report()
         return st
 
     def __repr__(self) -> str:
@@ -802,14 +815,21 @@ class Engine:
         Uses the batch-aware program (unbatched potentials; see
         ``batched_propagate_program``) — required for big-clique models where
         vmapping the potentials would materialize [B, clique_states]."""
+        from .utils.timing import TIMERS
+
         pots = self._require_pots()
         ids, masks = self._masks_to_program_args(mask_batch)
         fn = self._batched_cache.get(ids)
         if fn is None:
-            fn = jax.jit(
-                batched_propagate_program(self.plan, self.semiring, list(ids))
-            )
+            with TIMERS.phase("engine.program_build"):
+                fn = jax.jit(
+                    batched_propagate_program(
+                        self.plan, self.semiring, list(ids)
+                    )
+                )
             self._batched_cache[ids] = fn
+            with TIMERS.phase("engine.trace_compile"):
+                return fn(pots, masks)
         return fn(pots, masks)
 
     def shard_batch(self, mesh, axis: str = "batch") -> "Engine":
@@ -862,8 +882,7 @@ class Engine:
         if self.semiring.name != "sum_product":
             raise ValueError("fused path requires the sum_product semiring")
         pots = self._require_pots()
-        if self._pots_np is None:
-            raise RuntimeError("call set_potentials(values) first")
+        self._require_pots_np()
         ids, masks = self._masks_to_program_args(mask_batch)
         from .fused import (
             FusedPosteriors,
@@ -933,9 +952,12 @@ class Engine:
                 n_groups = sum(len(gs) for gs in sched.levels)
                 if n_groups * 2 <= st["num_cliques"]:
                     return self.posterior_batch_fused(mask_batch)
+        from .utils.timing import TIMERS
+
         ids, masks = self._masks_to_program_args(mask_batch)
         key = ("posterior", mode, ids)
         fn = self._batched_cache.get(key)
+        first = fn is None
         if fn is None:
             if (
                 mode == "auto"
@@ -1008,8 +1030,12 @@ class Engine:
                         logz = z
                     return normed, logz
 
-            fn = jax.jit(posterior_fn)
+            with TIMERS.phase("engine.program_build"):
+                fn = jax.jit(posterior_fn)
             self._batched_cache[key] = fn
+        if first:
+            with TIMERS.phase("engine.trace_compile"):
+                return fn(pots, masks)
         return fn(pots, masks)
 
     def map_assignment(
@@ -1098,6 +1124,7 @@ class Engine:
         (kept on device so serving pipelines avoid the transfer)."""
         if self.semiring.name != "max_product":
             return self._max_delegate().map_assignment_batch(mask_batch)
+        self._require_pots()
         layout = self._chain_layout()
         if layout is None:
             return self._tree_map_batch(mask_batch)
@@ -1153,8 +1180,7 @@ class Engine:
     def _max_delegate(self) -> "Engine":
         """Cached max-product sibling engine for MAP queries from non-MAP
         engines (building one per call would recompile Viterbi each time)."""
-        if self._pots_np is None:
-            raise RuntimeError("call set_potentials(values) first")
+        self._require_pots_np()
         if self._max_engine is None:
             eng = Engine(self.plan, MAX_PRODUCT)
             eng._pots_np = (
@@ -1168,8 +1194,7 @@ class Engine:
 
     def score_assignment(self, assignment: Dict[Hashable, int]) -> float:
         """log of the unnormalized joint value at a full assignment."""
-        if self._pots_np is None:
-            raise RuntimeError("call set_potentials(values) first")
+        self._require_pots_np()
         total = 0.0
         for c, pot in enumerate(self._pots_np):
             idx = tuple(

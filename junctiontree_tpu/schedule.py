@@ -189,64 +189,74 @@ def compile_plan(
     N randomized restarts, keep the smallest total clique state space), or
     'anneal[S]' (portfolio seed + simulated annealing over elimination
     orders for S seconds, default 2 — best quality, one-time compile cost;
-    both ignore the native backend)."""
-    table, int_factors, int_sizes = intern_factors(factors, sizes)
+    both ignore the native backend).
+
+    Every phase is timed into ``utils.timing.TIMERS`` (keys
+    ``compile.intern`` / ``compile.triangulate`` / ``compile.treebuild``)
+    and the resulting plan is logged via ``log_compile_stats``."""
+    from .utils.timing import TIMERS, log_compile_stats
+
+    with TIMERS.phase("compile.intern"):
+        table, int_factors, int_sizes = intern_factors(factors, sizes)
     if not int_factors:
         raise ValueError("need at least one factor")
     if root is None:
         root = 0
 
     tri = None
-    tree = None
-    if heuristic.startswith("anneal"):
-        from .triangulate import anneal_triangulation
+    nat = None
+    with TIMERS.phase("compile.triangulate"):
+        if heuristic.startswith("anneal"):
+            from .triangulate import anneal_triangulation
 
-        suffix = heuristic[len("anneal"):]
-        budget = float(suffix) if suffix else 2.0
-        tri = anneal_triangulation(
-            int_factors, int_sizes, time_budget_s=budget
+            suffix = heuristic[len("anneal"):]
+            budget = float(suffix) if suffix else 2.0
+            tri = anneal_triangulation(
+                int_factors, int_sizes, time_budget_s=budget
+            )
+        elif heuristic.startswith("portfolio"):
+            from .triangulate import portfolio_triangulation
+
+            # "portfolio" = 3 greedy heuristics; "portfolioN" adds N
+            # randomized min-fill restarts
+            suffix = heuristic[len("portfolio"):]
+            restarts = int(suffix) if suffix else 0
+            tri = portfolio_triangulation(
+                int_factors, int_sizes, random_restarts=restarts
+            )
+        use_native = tri is None and heuristic == "min_fill" and (
+            backend == "native"
+            or (backend == "auto" and len(int_sizes) >= 512)
         )
-        tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
-    elif heuristic.startswith("portfolio"):
-        from .triangulate import portfolio_triangulation
+        if use_native:
+            from . import native
 
-        # "portfolio" = 3 greedy heuristics; "portfolioN" adds N randomized
-        # min-fill restarts
-        suffix = heuristic[len("portfolio"):]
-        restarts = int(suffix) if suffix else 0
-        tri = portfolio_triangulation(
-            int_factors, int_sizes, random_restarts=restarts
-        )
-        tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
-    use_native = tri is None and heuristic == "min_fill" and (
-        backend == "native"
-        or (backend == "auto" and len(int_sizes) >= 512)
-    )
-    if use_native:
-        from . import native
-
-        nat = native.native_compile(int_factors, int_sizes)
-        if nat is None:
-            if backend == "native":
+            nat = native.native_compile(int_factors, int_sizes)
+            if nat is None and backend == "native":
                 raise RuntimeError(
                     "native compiler requested but unavailable (no g++?)"
                 )
-        else:
+            if nat is not None:
+                tri = Triangulation(
+                    maxcliques=nat["maxcliques"],
+                    factor_to_maxclique=nat["factor_to_maxclique"],
+                    elimination_order=nat["elimination_order"],
+                    fill_edges=nat["fill_edges"],
+                    treewidth=nat["treewidth"],
+                )
+        if tri is None:
+            tri = min_fill_triangulation(
+                int_factors, int_sizes, heuristic=heuristic
+            )
+    with TIMERS.phase("compile.treebuild"):
+        if nat is not None:
             from .treebuild import build_junction_tree_from_edges
 
-            tri = Triangulation(
-                maxcliques=nat["maxcliques"],
-                factor_to_maxclique=nat["factor_to_maxclique"],
-                elimination_order=nat["elimination_order"],
-                fill_edges=nat["fill_edges"],
-                treewidth=nat["treewidth"],
-            )
             tree = build_junction_tree_from_edges(
                 len(nat["maxcliques"]), nat["separators"], nat["edges"], root
             )
-    if tri is None:
-        tri = min_fill_triangulation(int_factors, int_sizes, heuristic=heuristic)
-        tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
+        else:
+            tree = build_junction_tree(tri.maxcliques, int_sizes, root=root)
 
     # evidence landing site: smallest clique containing each var
     var_to_clique = [-1] * len(int_sizes)
@@ -258,7 +268,7 @@ def compile_plan(
                 var_to_clique[v] = ci
     assert all(ci >= 0 for ci in var_to_clique)
 
-    return Plan(
+    plan = Plan(
         table=table,
         factors=int_factors,
         sizes=int_sizes,
@@ -266,3 +276,5 @@ def compile_plan(
         tree=tree,
         var_to_clique=var_to_clique,
     )
+    log_compile_stats(plan)
+    return plan

@@ -37,6 +37,16 @@ class PhaseTimers:
         )
         return out
 
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()
+
+
+# process-wide timers used by compile_plan / Engine (SURVEY.md §5: every
+# compile and program build in the package is phased through here;
+# Engine.describe() and `bench.py --phases` surface the totals)
+TIMERS = PhaseTimers()
+
 
 @contextlib.contextmanager
 def device_trace(path: str) -> Iterator[None]:
