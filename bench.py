@@ -233,6 +233,89 @@ def bench_loopy(batch=256):
            "queries/s", batch=batch, step_ms=round(dt * 1e3, 3))
 
 
+def bench_classic_bns(batch=4096):
+    """ALARM/Insurance/Hailfinder-class mixed-cardinality BNs (BASELINE.json
+    config classes): irregular clique shapes stress compile time and the
+    ragged-shape path very differently from uniform binary grids."""
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import alarm_like, hailfinder_like, insurance_like
+
+    for name, builder in (
+        ("ALARM-class BN", alarm_like),
+        ("Insurance-class BN", insurance_like),
+        ("Hailfinder-class BN", hailfinder_like),
+    ):
+        factors, sizes, values = builder()
+        t0 = time.perf_counter()
+        tree = jt.create_junction_tree(factors, sizes)
+        build = time.perf_counter() - t0
+        eng = tree.engine().set_potentials(values)
+        observed = list(sizes)[:: 3]
+        evs = random_evidence_batch(tree.plan, batch, observed, seed=7)
+        masks = {
+            k: jnp.asarray(v)
+            for k, v in batch_masks_sparse(tree.plan, evs).items()
+        }
+        dt, ct = steady(eng.posterior_batch, masks, iters=10)
+        st = tree.stats()
+        log(
+            f"# {name}  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
+            f"(vars {st['num_vars']}, treewidth {st['treewidth']}, "
+            f"max_states {st['max_clique_states']}, plan {build*1e3:.0f} ms, "
+            f"compile {ct:.1f}s)"
+        )
+        record(f"{name} batched-evidence", round(batch / dt, 1), "queries/s",
+               batch=batch, step_ms=round(dt * 1e3, 3),
+               compile_s=round(ct, 2), treewidth=st["treewidth"],
+               max_clique_states=st["max_clique_states"])
+
+
+def bench_uai_serving(batch=10240):
+    """UAI-format network served with 10k-way batched evidence through the
+    file -> parse -> engine path (BASELINE.json: 'UAI-competition networks
+    with 10k-way batched evidence')."""
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import grid_mrf_model
+    from junctiontree_tpu.utils.uai import parse_uai, write_uai
+
+    # competition-style pairwise MRF, round-tripped through the UAI format
+    # (UAI variables are the ints 0..n-1)
+    factors, sizes, values = grid_mrf_model(7, 7, card=3, seed=5)
+    ids = {name: i for i, name in enumerate(sizes)}
+    factors = [[ids[v] for v in f] for f in factors]
+    sizes = {ids[v]: s for v, s in sizes.items()}
+    text = write_uai(factors, sizes, values)
+    ufactors, usizes, uvalues = parse_uai(text)
+    t0 = time.perf_counter()
+    tree = jt.create_junction_tree(ufactors, usizes)
+    build = time.perf_counter() - t0
+    eng = tree.engine().set_potentials(uvalues)
+    observed = list(usizes)[:: 4]
+    evs = random_evidence_batch(tree.plan, batch, observed, seed=11)
+    masks = {
+        k: jnp.asarray(v)
+        for k, v in batch_masks_sparse(tree.plan, evs).items()
+    }
+    dt, ct = steady(eng.posterior_batch, masks, iters=10)
+    st = tree.stats()
+    log(
+        f"# UAI 7x7 card-3 MRF  B={batch}: {dt*1e3:.2f} ms/step  "
+        f"{batch/dt:,.0f} q/s  (treewidth {st['treewidth']}, "
+        f"max_states {st['max_clique_states']}, plan {build*1e3:.0f} ms, "
+        f"compile {ct:.1f}s)"
+    )
+    record("UAI 7x7 card-3 MRF batched-evidence", round(batch / dt, 1),
+           "queries/s", batch=batch, step_ms=round(dt * 1e3, 3),
+           compile_s=round(ct, 2), treewidth=st["treewidth"],
+           max_clique_states=st["max_clique_states"])
+
+
 def main():
     fast = "--fast" in sys.argv
     json_all = None
@@ -244,6 +327,7 @@ def main():
     qps = bench_grid_primary()
     if not fast:
         for b in (bench_grid_8x8, bench_chain, bench_big_clique,
+                  bench_classic_bns, bench_uai_serving,
                   bench_tree_map, bench_loopy):
             try:
                 b()

@@ -27,6 +27,11 @@ class Config:
     # through the Pallas streaming kernel instead of plain einsum
     pallas_min_states: int = 1 << 17
 
+    # tensor parallelism: clique state-space size above which an Engine with
+    # a model mesh (Engine.shard_model) serves the clique sharded over the
+    # model axis (shard_map + psum) instead of on one chip
+    tp_min_states: int = 1 << 26
+
     # persistent XLA compilation cache directory.  Large irregular models
     # (e.g. min-fill 12x12 grids) can take minutes of XLA compile; with a
     # cache dir set, that cost is paid once per (model, batch shape) per

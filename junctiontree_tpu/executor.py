@@ -58,19 +58,24 @@ def _combine_into_scope(
 MAX_CLIQUE_STATES = 1 << 28
 
 
-def check_feasible(plan: Plan) -> None:
+def check_feasible(plan: Plan, max_states: Optional[int] = None) -> None:
+    """``max_states`` defaults to the single-chip cap; an Engine with a
+    model-parallel mesh passes ``MAX_CLIQUE_STATES * n_model`` instead
+    (oversized cliques are sharded over the model axis, not refused)."""
+    cap = MAX_CLIQUE_STATES if max_states is None else max_states
     worst = 0
     for c in range(plan.tri.num_cliques):
         states = 1
         for v in plan.tri.maxcliques[c]:
             states *= plan.sizes[v]
         worst = max(worst, states)
-    if worst > MAX_CLIQUE_STATES:
+    if worst > cap:
         raise ValueError(
             "model is infeasible for exact inference: largest clique has "
             f"{worst:,} states (treewidth {plan.tri.treewidth}); limit is "
-            f"{MAX_CLIQUE_STATES:,}. Reduce the model's connectivity, use "
-            "a better elimination order (heuristic='portfolio16'), or "
+            f"{cap:,}. Reduce the model's connectivity, use "
+            "a better elimination order (heuristic='portfolio16'), shard the "
+            "clique over a model mesh axis (Engine.shard_model), or "
             "switch to approximate inference (junctiontree_tpu.LoopyEngine)."
         )
 
@@ -123,13 +128,14 @@ def evaluate_cliques_np(
     factor_values: Sequence[np.ndarray],
     semiring: Semiring = SUM_PRODUCT,
     dtype=np.float32,
+    max_states: Optional[int] = None,
 ) -> List[np.ndarray]:
     """Host-side NumPy clique evaluation (same math as ``evaluate_cliques``).
 
     Clique initialization is one-time, elementwise work; doing it in NumPy
     avoids tracing/compiling an XLA op per clique — on a 10k-clique model
     that is the difference between milliseconds and minutes of compile."""
-    check_feasible(plan)
+    check_feasible(plan, max_states)
     if len(factor_values) != len(plan.factors):
         raise ValueError(
             "expected %d factor value arrays, got %d"
@@ -382,18 +388,24 @@ def _bcontract(semiring, operands, operand_vars, out_vars):
     return semiring.contract(operands, operand_vars, out), batched
 
 
-def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
+def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states,
+                          tp=None):
     """Route a collect/distribute/marginal contraction through the Pallas
     factored-weight kernel when the clique is large enough and every batched
     operand is either a single-variable mask (evidence) or a child message
     whose scope doesn't cross the output-separator boundary.  Returns the
-    [B, ...] result or None."""
+    [B, ...] result or None.
+
+    ``tp = (mesh, tp_min_states, shard_batch)`` additionally routes cliques
+    with >= tp_min_states states through the model-axis-sharded contraction
+    (parallel/tp.tp_contract_fn) — this is how an Engine.shard_model engine
+    serves cliques larger than one chip instead of raising."""
     if semiring.name != "sum_product":
         return None
     from .ops.pallas_contract import _kernel_flags, big_clique_sep_message
 
     use, interp = _kernel_flags()
-    if not use:
+    if not use and tp is None:
         return None
     batched: List[tuple] = []
     msgs: List[tuple] = []
@@ -429,7 +441,12 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
     states = 1
     for x in scope:
         states *= plan.sizes[x]
-    if states < min_states:
+    contract_fn = None
+    if tp is not None and states >= tp[1]:
+        from .parallel.tp import tp_contract_fn
+
+        contract_fn = tp_contract_fn(tp[0], shard_batch=tp[2])
+    elif not use or states < min_states:
         return None
     pot = (
         unbatched[0][0]
@@ -442,7 +459,8 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states):
     for o, x in batched:
         masks[x] = o if x not in masks else masks[x] * o
     return big_clique_sep_message(
-        pot, scope, masks, list(out_vars), msgs=msgs, interpret=interp
+        pot, scope, masks, list(out_vars), msgs=msgs, interpret=interp,
+        contract_fn=contract_fn,
     )
 
 
@@ -451,6 +469,7 @@ def batched_propagate_program(
     semiring: Semiring = SUM_PRODUCT,
     observed: Optional[Sequence[int]] = None,
     rescale: bool = False,
+    tp=None,
 ):
     """Build ``fn(pots, masks) -> (var_marginals [B,size_v] list, Z [B])``.
 
@@ -489,12 +508,17 @@ def batched_propagate_program(
     min_states = _CFG.pallas_min_states
 
     def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
+        # model-sharded (TP) clique potentials arrive flat — restore scope
+        pots = [
+            p if p.ndim == len(cvars[c]) else p.reshape(plan.clique_shape(c))
+            for c, p in enumerate(pots)
+        ]
         B = jnp.shape(masks[0])[0] if masks else 1
         logoff = jnp.zeros(())  # collect-pass rescaling offsets (-> logZ)
 
         def contract(ops, ovs, outv):
             routed = _try_big_clique_route(
-                plan, semiring, ops, ovs, outv, min_states
+                plan, semiring, ops, ovs, outv, min_states, tp=tp
             )
             if routed is not None:
                 return routed, True
@@ -618,6 +642,15 @@ def batched_propagate_program(
     return fn
 
 
+def _unflatten_pots(plan: Plan, pots):
+    """Restore clique scope on model-sharded (flat [S]) potentials."""
+    return [
+        p if jnp.ndim(p) == len(plan.clique_vars[c])
+        else jnp.reshape(p, plan.clique_shape(c))
+        for c, p in enumerate(pots)
+    ]
+
+
 class Engine:
     """Jitted inference engine for one compiled Plan.
 
@@ -638,6 +671,7 @@ class Engine:
             return factor_marginals(plan, beliefs, sr)
 
         def _query(pots: List[jnp.ndarray], masks: List[jnp.ndarray]):
+            pots = _unflatten_pots(plan, pots)
             mpots = apply_masks(plan, pots, masks, sr)
             beliefs, _ = propagate_cliques(plan, mpots, sr)
             return (
@@ -661,6 +695,9 @@ class Engine:
         self._max_engine: Optional["Engine"] = None  # cached MAP delegate
         self._pots_np: Optional[List[np.ndarray]] = None
         self._mask_sharding = None  # set by shard_batch()
+        self._model_mesh = None          # set by shard_model()
+        self._tp_min_states: int = 0
+        self._tp_shard_batch = False
 
     def _chain_layout(self):
         if self._chain is None:
@@ -690,11 +727,12 @@ class Engine:
                 vals = [np.log(v) for v in vals]
         with TIMERS.phase("engine.evaluate"):
             pots = evaluate_cliques_np(
-                self.plan, vals, self.semiring, dtype=dtype
+                self.plan, vals, self.semiring, dtype=dtype,
+                max_states=self._feasible_cap(),
             )
         # device_put canonicalizes float64 -> float32 unless jax_enable_x64
         self._pots_np = pots
-        self._pots = [jax.device_put(p) for p in pots]
+        self._pots = self._device_put_pots(pots)
         # invalidate every prestacked artifact derived from the potentials
         # (cached programs re-read these lazily, so stale stacks would
         # silently serve results from the OLD potentials)
@@ -824,7 +862,7 @@ class Engine:
             with TIMERS.phase("engine.program_build"):
                 fn = jax.jit(
                     batched_propagate_program(
-                        self.plan, self.semiring, list(ids)
+                        self.plan, self.semiring, list(ids), tp=self._tp()
                     )
                 )
             self._batched_cache[ids] = fn
@@ -845,6 +883,76 @@ class Engine:
 
         self._mask_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
         return self
+
+    def shard_model(
+        self, mesh, min_states: Optional[int] = None,
+        shard_batch: bool = False,
+    ) -> "Engine":
+        """Tensor parallelism: serve cliques with >= ``min_states`` states
+        sharded over the ``model`` axis of ``mesh`` instead of refusing them
+        in ``check_feasible`` — their potentials are stored flat-sharded
+        across the model axis (each chip holds S/n_model states) and every
+        routed contraction runs as a shard_map + psum over ICI
+        (parallel/tp.sharded_factored_contract).  The feasibility cap scales
+        to ``MAX_CLIQUE_STATES * n_model``.
+
+        ``min_states`` defaults to ``config.DEFAULT.tp_min_states``;
+        ``shard_batch=True`` additionally shards the routed contraction's
+        batch axis over the mesh's ``batch`` axis (B must then be divisible
+        by the batch-axis size).  Linear sum-product engines only (the TP
+        route is a sum-product factorization).
+
+        Call before ``set_potentials`` for models whose largest clique
+        exceeds the single-chip cap (evaluation checks the scaled cap)."""
+        if self.semiring.name != "sum_product":
+            raise ValueError(
+                "shard_model requires the sum_product semiring (the TP "
+                "route is a linear factored contraction)"
+            )
+        from .config import DEFAULT as _CFG
+
+        self._model_mesh = mesh
+        self._tp_min_states = (
+            _CFG.tp_min_states if min_states is None else int(min_states)
+        )
+        self._tp_shard_batch = bool(shard_batch)
+        # programs compiled without the TP route are stale
+        self._batched_cache.clear()
+        if self._pots_np is not None:
+            self._pots = self._device_put_pots(self._pots_np)
+        return self
+
+    def _tp(self):
+        """TP routing tuple for batched_propagate_program (or None)."""
+        if self._model_mesh is None:
+            return None
+        return (self._model_mesh, self._tp_min_states, self._tp_shard_batch)
+
+    def _feasible_cap(self) -> Optional[int]:
+        if self._model_mesh is None:
+            return None
+        from .parallel.mesh import MODEL_AXIS
+
+        return MAX_CLIQUE_STATES * int(self._model_mesh.shape[MODEL_AXIS])
+
+    def _device_put_pots(self, pots: List[np.ndarray]) -> List[jnp.ndarray]:
+        """Place clique potentials: oversized cliques go flat-sharded over
+        the model mesh axis (programs restore scope via _unflatten_pots)."""
+        if self._model_mesh is None:
+            return [jax.device_put(p) for p in pots]
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel.mesh import MODEL_AXIS
+
+        n_model = int(self._model_mesh.shape[MODEL_AXIS])
+        sh = NamedSharding(self._model_mesh, PartitionSpec(MODEL_AXIS))
+        out = []
+        for p in pots:
+            if p.size >= self._tp_min_states and p.size % n_model == 0:
+                out.append(jax.device_put(p.reshape(-1), sh))
+            else:
+                out.append(jax.device_put(p))
+        return out
 
     def _masks_to_program_args(self, mask_batch):
         if isinstance(mask_batch, dict):
@@ -996,7 +1104,7 @@ class Engine:
 
             if sr.name == "sum_product":
                 prog = batched_propagate_program(
-                    self.plan, sr, list(ids), rescale=True
+                    self.plan, sr, list(ids), rescale=True, tp=self._tp()
                 )
 
                 def posterior_fn(pots, masks):

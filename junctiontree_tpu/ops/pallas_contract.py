@@ -298,6 +298,7 @@ def big_clique_sep_message(
     msgs: Sequence[Tuple[Sequence[int], jnp.ndarray]] = (),
     interpret: bool = False,
     use_pallas: bool = True,
+    contract_fn=None,
 ) -> jnp.ndarray:
     """Collect/distribute message from a (large) clique to its separator
     under batched evidence masks and batched child messages.
@@ -309,7 +310,10 @@ def big_clique_sep_message(
     sep_vars or entirely outside (messages crossing the separator boundary
     can't be factored — callers fall back to XLA einsum).
     Masks/messages scoped inside sep_vars are applied post-contraction.
-    Returns [B, *sep_shape]."""
+    ``contract_fn(p3 [R1,R2,C], w1 [B,R1], w2 [B,R2]) -> [B,C]`` overrides
+    the kernel/XLA choice — the TP path injects a shard_map+psum contraction
+    here (parallel/tp.py) so oversized cliques run sharded over the model
+    mesh axis.  Returns [B, *sep_shape]."""
     cset = list(clique_vars)
     sset = list(sep_vars)
     rest = [v for v in cset if v not in sset]
@@ -380,7 +384,9 @@ def big_clique_sep_message(
         w2 = jnp.ones((B, R), dtype=pot.dtype)
         p3 = p.reshape(R1, R2, C)
 
-    if use_pallas:
+    if contract_fn is not None:
+        out = contract_fn(p3, w1, w2)
+    elif use_pallas:
         out = factored_masked_contract(p3, w1, w2, interpret=interpret)
     else:
         out = reference_factored_contract(p3, w1, w2)

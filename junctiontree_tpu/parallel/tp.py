@@ -62,3 +62,24 @@ def sharded_factored_contract(
         out_specs=bspec,
     )
     return fn(pot, w1, w2)
+
+
+def tp_contract_fn(mesh: Mesh, *, shard_batch: bool = False):
+    """``contract_fn`` for ``big_clique_sep_message``: the factored
+    big-clique contraction sharded over the model mesh axis (pads R1 up to a
+    multiple of the model-axis size with zero rows — padding contributes
+    nothing to the psum).  This is how ``Engine.shard_model`` routes
+    oversized cliques instead of raising in ``check_feasible``."""
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def contract(p3, w1, w2):
+        R1 = p3.shape[0]
+        pad = (-R1) % n_model
+        if pad:
+            p3 = jnp.pad(p3, ((0, pad), (0, 0), (0, 0)))
+            w1 = jnp.pad(w1, ((0, 0), (0, pad)))
+        return sharded_factored_contract(
+            mesh, p3, w1, w2, shard_batch=shard_batch
+        )
+
+    return contract
