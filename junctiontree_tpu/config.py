@@ -27,6 +27,14 @@ class Config:
     # through the Pallas streaming kernel instead of plain einsum
     pallas_min_states: int = 1 << 17
 
+    # grouped-unrolled contraction path (ops/grouped.py): operand
+    # state-space size above which batched message contractions are
+    # rewritten as low-rank broadcast-multiply-accumulate ops (XLA compiles
+    # a 2^17-state high-rank einsum in ~58 s but the grouped form in <1 s),
+    # and the max number of unrolled cross-operand contracted assignments
+    grouped_min_states: int = 1 << 10
+    grouped_unroll_cap: int = 64
+
     # tensor parallelism: clique state-space size above which an Engine with
     # a model mesh (Engine.shard_model) serves the clique sharded over the
     # model axis (shard_map + psum) instead of on one chip

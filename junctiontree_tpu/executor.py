@@ -380,6 +380,22 @@ def evidence_to_masks(
 BATCH = -1  # pseudo variable id for the evidence-batch axis
 
 
+def _vars_states(sizes, vs):
+    """State count of a var scope (ignoring the batch pseudo-var)."""
+    n = 1
+    for v in vs:
+        if v != BATCH:
+            n *= sizes[v]
+    return n
+
+
+def _unflatten(sizes, op, vs):
+    """Restore an operand to full rank if it is stored flat."""
+    full = [op.shape[0]] if (vs and vs[0] == BATCH) else []
+    full += [sizes[v] for v in vs if v != BATCH]
+    return op if list(op.shape) == full else op.reshape(full)
+
+
 def _bcontract(semiring, operands, operand_vars, out_vars):
     """Contract mixed batched/unbatched operands; output gets the batch axis
     iff any operand has it."""
@@ -407,6 +423,9 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states,
     use, interp = _kernel_flags()
     if not use and tp is None:
         return None
+    # the kernel wrapper permutes/reshapes by axis — restore full rank for
+    # operands the executor keeps flat (XLA CSEs the repeated reshapes)
+    ops = [_unflatten(plan.sizes, o, v) for o, v in zip(ops, ovs)]
     batched: List[tuple] = []
     msgs: List[tuple] = []
     unbatched: List[tuple] = []
@@ -506,15 +525,24 @@ def batched_propagate_program(
     from .config import DEFAULT as _CFG
 
     min_states = _CFG.pallas_min_states
+    grouped_min = _CFG.grouped_min_states
+    unroll_cap = _CFG.grouped_unroll_cap
 
     def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
-        # model-sharded (TP) clique potentials arrive flat — restore scope
-        pots = [
-            p if p.ndim == len(cvars[c]) else p.reshape(plan.clique_shape(c))
-            for c, p in enumerate(pots)
-        ]
+        # big-clique potentials are kept FLAT throughout the program (TPU
+        # compile time explodes with tensor rank — see ops/grouped.py);
+        # small ones get their scope restored (TP ships them flat)
+        def norm_pot(c, p):
+            if _vars_states(plan.sizes, cvars[c]) >= grouped_min:
+                return p.reshape((-1,)) if p.ndim != 1 else p
+            return p if p.ndim == len(cvars[c]) \
+                else p.reshape(plan.clique_shape(c))
+
+        pots = [norm_pot(c, p) for c, p in enumerate(pots)]
         B = jnp.shape(masks[0])[0] if masks else 1
         logoff = jnp.zeros(())  # collect-pass rescaling offsets (-> logZ)
+
+        from .ops.grouped import grouped_batched_contract
 
         def contract(ops, ovs, outv):
             routed = _try_big_clique_route(
@@ -522,6 +550,21 @@ def batched_propagate_program(
             )
             if routed is not None:
                 return routed, True
+            # big-operand batched contractions: grouped low-rank form —
+            # high-rank einsums cost ~58 s of TPU compile EACH; big
+            # results stay flat so no high-rank tensor ever materializes
+            big = any(
+                _vars_states(plan.sizes, vs) >= grouped_min for vs in ovs
+            )
+            if big:
+                g = grouped_batched_contract(
+                    semiring, ops, ovs, outv, plan.sizes, BATCH,
+                    unroll_cap=unroll_cap,
+                    flat_out=_vars_states(plan.sizes, outv) >= grouped_min,
+                )
+                if g is not None:
+                    return g
+            ops = [_unflatten(plan.sizes, o, v) for o, v in zip(ops, ovs)]
             return _bcontract(semiring, ops, ovs, outv)
 
         def clique_ops(c):
@@ -620,7 +663,7 @@ def batched_propagate_program(
             if states <= BELIEF_STATES_CAP:
                 bel, b = clique_belief(c)
                 bv = ([BATCH] if b else []) + list(cvars[c])
-                out, b = _bcontract(semiring, [bel], [bv], [v])
+                out, b = contract([bel], [bv], [v])
             else:
                 ops, ovs = node_ops(c)
                 out, b = contract(ops, ovs, [v])
@@ -693,6 +736,7 @@ class Engine:
         self._chain_A = None                 # prestacked chain transitions
         self._fused_stack = None             # prestacked fused group pots
         self._max_engine: Optional["Engine"] = None  # cached MAP delegate
+        self._pots_prog = None               # big-clique-flat program pots
         self._pots_np: Optional[List[np.ndarray]] = None
         self._mask_sharding = None  # set by shard_batch()
         self._model_mesh = None          # set by shard_model()
@@ -739,6 +783,7 @@ class Engine:
         self._chain_A = None
         self._fused_stack = None
         self._max_engine = None
+        self._pots_prog = None
         return self
 
     def _require_pots(self):
@@ -855,7 +900,7 @@ class Engine:
         vmapping the potentials would materialize [B, clique_states]."""
         from .utils.timing import TIMERS
 
-        pots = self._require_pots()
+        pots = self._program_pots()
         ids, masks = self._masks_to_program_args(mask_batch)
         fn = self._batched_cache.get(ids)
         if fn is None:
@@ -918,6 +963,7 @@ class Engine:
         self._tp_shard_batch = bool(shard_batch)
         # programs compiled without the TP route are stale
         self._batched_cache.clear()
+        self._pots_prog = None
         if self._pots_np is not None:
             self._pots = self._device_put_pots(self._pots_np)
         return self
@@ -934,6 +980,28 @@ class Engine:
         from .parallel.mesh import MODEL_AXIS
 
         return MAX_CLIQUE_STATES * int(self._model_mesh.shape[MODEL_AXIS])
+
+    def _program_pots(self) -> List[jnp.ndarray]:
+        """Potentials as handed to batched programs: big cliques FLAT.
+
+        TPU compile time explodes with tensor rank (see ops/grouped.py), so
+        potentials at/above Config.grouped_min_states enter the program as
+        1-D arrays — the program's contractions consume them via grouped
+        low-rank views and never restore full rank.  Flattened once per
+        ``set_potentials`` (device reshape), then cached."""
+        pots = self._require_pots()
+        if self._pots_prog is None:
+            from .config import DEFAULT as _CFG
+
+            gmin = _CFG.grouped_min_states
+            out = []
+            for c, p in enumerate(pots):
+                states = _vars_states(self.plan.sizes, self.plan.clique_vars[c])
+                out.append(
+                    p.reshape((-1,)) if states >= gmin and p.ndim != 1 else p
+                )
+            self._pots_prog = out
+        return self._pots_prog
 
     def _device_put_pots(self, pots: List[np.ndarray]) -> List[jnp.ndarray]:
         """Place clique potentials: oversized cliques go flat-sharded over
@@ -1039,7 +1107,8 @@ class Engine:
 
         Returns (posteriors: list over var ids of [B, size_v] normalized
         linear-space arrays, logZ: [B])."""
-        pots = self._require_pots()
+        self._require_pots()
+        pots = self._program_pots()
         sr = self.semiring
         if mode == "fused":
             return self.posterior_batch_fused(mask_batch)

@@ -101,6 +101,9 @@ class Semiring:
     _reduce: Callable
     _combine: Callable
     one: float  # multiplicative identity in this space
+    # accum(a, b) -> elementwise semiring addition (the binary form of
+    # _reduce; used by the grouped-unrolled contraction path)
+    _accum: Callable = jnp.add
 
     def contract(
         self,
@@ -168,6 +171,7 @@ LOG_SUM_EXP = Semiring(
     _reduce=lambda x, axes: jax.nn.logsumexp(x, axis=axes),
     _combine=jnp.add,
     one=0.0,
+    _accum=jnp.logaddexp,
 )
 
 MAX_PRODUCT = Semiring(
@@ -176,6 +180,7 @@ MAX_PRODUCT = Semiring(
     _reduce=lambda x, axes: jnp.max(x, axis=axes),
     _combine=jnp.add,
     one=0.0,
+    _accum=jnp.maximum,
 )
 
 SEMIRINGS = {s.name: s for s in (SUM_PRODUCT, LOG_SUM_EXP, MAX_PRODUCT)}
