@@ -96,6 +96,62 @@ def _grouped_views(ops, ovs, batched, out_set, cvars, member, sizes,
     return views, groups, gsizes, out_flags
 
 
+def grouped_divide_project(
+    semiring,
+    belief: jnp.ndarray,
+    belief_vars: Sequence[int],
+    msg: jnp.ndarray,
+    msg_vars: Sequence[int],
+    sizes: Sequence[int],
+    batch_label: int,
+    flat_out: bool = False,
+) -> jnp.ndarray:
+    """Hugin division trick at grouped rank: ``reduce(belief ⊘ msg -> msg_vars)``.
+
+    ``belief`` is a clique belief over ``belief_vars`` (batched, maybe
+    flat), ``msg`` the child's collect message over ``msg_vars ⊆
+    belief_vars`` (batched, maybe flat); returns the distribute message to
+    that child over exactly ``msg_vars``.  Division is guarded the way the
+    reference guards it (zeros stay zeros,
+    /root/reference/junctiontree/computation.py:131-136): entries where the
+    divisor is the semiring zero produce the semiring zero, which is
+    provably harmless downstream (the reference's division-vs-
+    remultiplication test, tests/test_computation.py:325-374).  Only valid
+    for semirings with invertible ⊗ (sum-product, log-sum-exp) — callers
+    gate max-product to the leave-one-out path.
+    """
+    bvars = [v for v in belief_vars if v != batch_label]
+    mvars = [v for v in msg_vars if v != batch_label]
+    mset = set(mvars)
+    # group belief axes into runs of (in-msg? flag); msg axes follow the
+    # same runs (scopes are sorted)
+    runs: List[List] = []  # [size, in_msg]
+    for v in bvars:
+        inm = v in mset
+        if runs and runs[-1][1] == inm:
+            runs[-1][0] *= sizes[v]
+        else:
+            runs.append([sizes[v], inm])
+    bview = belief.reshape([belief.shape[0]] + [r[0] for r in runs])
+    red = tuple(1 + i for i, r in enumerate(runs) if not r[1])
+    sep_marg = semiring._reduce(bview, red) if red else bview
+    # divide after the reduce (the divisor is constant over reduced axes,
+    # so this commutes — and runs on [B, sep] instead of [B, clique])
+    mview = msg.reshape(sep_marg.shape)
+    if semiring.is_log:
+        out = jnp.where(jnp.isneginf(mview), -jnp.inf, sep_marg - mview)
+    else:
+        out = jnp.where(
+            mview != 0, sep_marg / jnp.where(mview != 0, mview, 1.0), 0.0
+        )
+    if flat_out:
+        tot = 1
+        for v in mvars:
+            tot *= sizes[v]
+        return out.reshape([out.shape[0], tot])
+    return out.reshape([out.shape[0]] + [sizes[v] for v in mvars])
+
+
 def grouped_batched_contract(
     semiring,
     operands: Sequence[jnp.ndarray],
