@@ -2,19 +2,33 @@
 headline batched-evidence grid-MRF queries/s vs the reference's measured 138
 queries/s baseline from BASELINE.md); secondary metrics go to stderr.
 
-Run: python bench.py            (full suite, ~3 min with compiles)
+Every case — including failures — is recorded to ``BENCH_all.json`` at the
+repo root (and to ``--json-all PATH`` if given), so results survive drivers
+that only capture the stderr tail.  The loopy-BP case runs in a fresh
+subprocess: a wedged TPU compile queue from an earlier case must not pollute
+its compile-time measurement (the round-2 675.9s anomaly).
+
+Run: python bench.py            (full suite, ~4 min with compiles)
      python bench.py --fast     (primary metric only)
+     python bench.py --scaling  (DP scaling harness on virtual CPU devices,
+                                 writes SCALING.json; on a real pod it uses
+                                 the real mesh)
+     python bench.py --only NAME ... (internal: run named cases only)
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_QPS = 138.0  # reference, 6x6 grid MRF, 1 CPU core (BASELINE.md)
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(msg):
@@ -42,7 +56,7 @@ def steady(fn, *args, iters=20, rounds=3):
     return best, compile_t
 
 
-RESULTS: list = []  # secondary results for --json-all
+RESULTS: list = []  # per-case records, written to BENCH_all.json
 
 
 def record(name, value, unit, **extra):
@@ -75,7 +89,7 @@ def bench_grid_primary(batch=8192):
     qps = batch / dt
     log(f"# 6x6 grid  B={batch}: {dt*1e3:.2f} ms/step  {qps:,.0f} q/s  (compile {ct:.1f}s)")
     record("6x6 grid batched-evidence", round(qps, 1), "queries/s",
-           batch=batch, step_ms=round(dt * 1e3, 3))
+           batch=batch, step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
     return qps
 
 
@@ -98,7 +112,39 @@ def bench_grid_8x8(batch=4096):
     log(f"# 8x8 grid  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
         f"(treewidth {tree.stats()['treewidth']}, compile {ct:.1f}s)")
     record("8x8 grid batched-evidence", round(batch / dt, 1), "queries/s",
-           batch=batch, step_ms=round(dt * 1e3, 3))
+           batch=batch, step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
+
+
+def bench_grid_12x12(batch=2048):
+    """The grouped-contraction flagship (round-2 commit headline): a
+    min-fill 12x12 grid has irregular 2^13..2^17-state cliques — the
+    grouped low-rank path keeps XLA compile seconds-scale and steps fast."""
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(12, 12, seed=0)
+    t0 = time.perf_counter()
+    tree = jt.create_junction_tree(factors, sizes)
+    build = time.perf_counter() - t0
+    eng = tree.engine().set_potentials(values)
+    evs = random_evidence_batch(tree.plan, batch, list(sizes)[:30], seed=3)
+    masks = {
+        k: jnp.asarray(v)
+        for k, v in batch_masks_sparse(tree.plan, evs).items()
+    }
+    dt, ct = steady(eng.posterior_batch, masks, iters=10)
+    st = tree.stats()
+    log(f"# 12x12 grid  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
+        f"(treewidth {st['treewidth']}, max_states {st['max_clique_states']}, "
+        f"plan {build:.1f}s, compile {ct:.1f}s)")
+    record("12x12 grid batched-evidence (grouped path)", round(batch / dt, 1),
+           "queries/s", batch=batch, step_ms=round(dt * 1e3, 3),
+           compile_s=round(ct, 2), plan_build_s=round(build, 2),
+           treewidth=st["treewidth"],
+           max_clique_states=st["max_clique_states"])
 
 
 def bench_chain(n=5000, batch=1024):
@@ -124,19 +170,24 @@ def bench_chain(n=5000, batch=1024):
     log(f"# {n}-var chain  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
         f"(plan build {build:.1f}s, compile {ct:.1f}s, lax.scan path)")
     record(f"{n}-var chain batched-evidence", round(batch / dt, 1), "queries/s",
-           batch=batch, step_ms=round(dt * 1e3, 3), plan_build_s=round(build, 2))
+           batch=batch, step_ms=round(dt * 1e3, 3), plan_build_s=round(build, 2),
+           compile_s=round(ct, 2))
 
 
 def bench_big_clique(batch=4096):
     """End-to-end on one 2^18-state clique (18 binary vars, evidence on 12):
-    Z + 6 var marginals via the Pallas factored-mask path vs the XLA
-    fallback of the same factorization."""
+    Z + 6 var marginals via the measured-routing path (what production
+    serving uses) vs the forced-Pallas and forced-XLA variants, with
+    achieved FLOP/s and roofline fraction."""
     import jax
     import jax.numpy as jnp
 
     import junctiontree_tpu as jt
     from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
     from junctiontree_tpu.ops.pallas_contract import big_clique_sep_message
+    from junctiontree_tpu.ops.autotune import (
+        PEAK_F32_FLOPS, PEAK_HBM_BYTES, report as autotune_report,
+    )
 
     rng = np.random.default_rng(0)
     nv = 18
@@ -158,27 +209,43 @@ def bench_big_clique(batch=4096):
     cvars = plan.clique_vars[0]
     out_sets = [[plan.table.id_of(n)] for n in names[:6]] + [[]]
 
-    def make(up):
+    def make(up, at):
         return jax.jit(
             lambda pot, masks: [
-                big_clique_sep_message(pot, cvars, masks, ov, use_pallas=up)
+                big_clique_sep_message(pot, cvars, masks, ov,
+                                       use_pallas=up, autotune=at)
                 for ov in out_sets
             ]
         )
 
-    dt_p, ct_p = steady(make(True), pot, masks, iters=10)
-    dt_x, ct_x = steady(make(False), pot, masks, iters=10)
-    log(f"# 2^18-state clique, Z+6 marginals  B={batch}: pallas {dt_p*1e3:.3f} ms "
-        f"({batch/dt_p:,.0f} q/s)  xla {dt_x*1e3:.3f} ms  ({dt_x/dt_p:.1f}x speedup)")
-    record("2^18-state clique Z+6 marginals (pallas)", round(batch / dt_p, 1),
-           "queries/s", batch=batch, pallas_ms=round(dt_p * 1e3, 3),
-           xla_ms=round(dt_x * 1e3, 3))
+    dt_r, ct_r = steady(make(True, True), pot, masks, iters=10)   # routed
+    dt_p, ct_p = steady(make(True, False), pot, masks, iters=10)  # pallas
+    dt_x, ct_x = steady(make(False, False), pot, masks, iters=10)  # xla
+    # FLOP / HBM accounting: 7 contractions, each reduces the full 2^18
+    # rest space to its output (2*B*S flops); the potential streams once per
+    # contraction
+    S = 1 << nv
+    flops = 7 * 2 * batch * S
+    hbm = 7 * 4 * (S + batch * (2 * int(np.sqrt(S)) + 2))
+    t_light = max(flops / PEAK_F32_FLOPS, hbm / PEAK_HBM_BYTES)
+    dt_best = min(dt_r, dt_p, dt_x)
+    log(f"# 2^18-state clique, Z+6 marginals  B={batch}: routed {dt_r*1e3:.3f} ms "
+        f"({batch/dt_r:,.0f} q/s)  pallas {dt_p*1e3:.3f} ms  xla {dt_x*1e3:.3f} ms  "
+        f"achieved {flops/dt_best/1e12:.1f} TF/s  roofline {t_light/dt_best:.0%}")
+    record("2^18-state clique Z+6 marginals (routed)", round(batch / dt_r, 1),
+           "queries/s", batch=batch, routed_ms=round(dt_r * 1e3, 3),
+           pallas_ms=round(dt_p * 1e3, 3), xla_ms=round(dt_x * 1e3, 3),
+           achieved_tflops=round(flops / dt_best / 1e12, 2),
+           roofline_fraction=round(t_light / dt_best, 3),
+           routing_table=autotune_report())
+    # routed must never lose to the XLA fallback (measurement-based routing)
+    if dt_r > dt_x * 1.25:
+        record("big-clique routing regression", round(dt_r / dt_x, 2), "x",
+               error="routed slower than XLA fallback")
 
 
 def bench_tree_map(batch=2048):
     """General-tree batched MAP decoding (backpointers + traceback)."""
-    import jax
-
     import junctiontree_tpu as jt
     from junctiontree_tpu.evidence import random_evidence_batch
     from junctiontree_tpu.models import grid_mrf_model
@@ -202,14 +269,50 @@ def bench_tree_map(batch=2048):
     log(f"# 6x6 grid batched MAP  B={batch}: {dt*1e3:.2f} ms/step  "
         f"{batch/dt:,.0f} MAP/s  (compile {ct:.1f}s)")
     record("6x6 grid batched MAP", round(batch / dt, 1), "MAP/s",
-           batch=batch, step_ms=round(dt * 1e3, 3))
+           batch=batch, step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
+
+
+def bench_incremental(batch=2048):
+    """Incremental-evidence serving: single-variable delta on the 8x8 grid
+    vs full re-propagation (VERDICT r2 #4: target >= 2x)."""
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(8, 8, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    names = list(sizes)
+    evs = random_evidence_batch(tree.plan, batch, names[:10], seed=5)
+    masks = {
+        k: jnp.asarray(v)
+        for k, v in batch_masks_sparse(tree.plan, evs).items()
+    }
+    sess = eng.incremental(masks)
+    dirty = names[0]
+    new_mask = np.zeros((batch, sizes[dirty]), dtype=np.float32)
+    new_mask[:, 1] = 1.0
+    new_mask = jnp.asarray(new_mask)
+    qvars = [names[40]]
+
+    dt_i, ct_i = steady(lambda: sess.query({dirty: new_mask}, qvars), iters=10)
+    merged = dict(masks)
+    merged[dirty] = new_mask
+    dt_f, ct_f = steady(
+        lambda: eng.posterior_batch(merged, mode="general"), iters=10
+    )
+    log(f"# 8x8 grid incremental delta  B={batch}: {dt_i*1e3:.3f} ms vs full "
+        f"{dt_f*1e3:.3f} ms  ({dt_f/dt_i:.1f}x)  (compiles {ct_i:.1f}s/{ct_f:.1f}s)")
+    record("8x8 grid single-var evidence delta", round(batch / dt_i, 1),
+           "queries/s", batch=batch, incremental_ms=round(dt_i * 1e3, 3),
+           full_ms=round(dt_f * 1e3, 3), speedup=round(dt_f / dt_i, 2))
 
 
 def bench_loopy(batch=256):
     """Approximate inference scale demo: 30x30 grid (exact is infeasible
     for the reference and painful for any junction-tree engine)."""
-    import jax
-
     import junctiontree_tpu as jt
     from junctiontree_tpu.models import grid_mrf_model
 
@@ -230,7 +333,8 @@ def bench_loopy(batch=256):
         f"{dt*1e3:.1f} ms  {batch*iters/dt:,.0f} iter-queries/s  "
         f"(compile {ct:.1f}s)")
     record("30x30 grid loopy BP (100 iters)", round(batch / dt, 1),
-           "queries/s", batch=batch, step_ms=round(dt * 1e3, 3))
+           "queries/s", batch=batch, step_ms=round(dt * 1e3, 3),
+           compile_s=round(ct, 2))
 
 
 def bench_classic_bns(batch=4096):
@@ -248,29 +352,34 @@ def bench_classic_bns(batch=4096):
         ("Insurance-class BN", insurance_like),
         ("Hailfinder-class BN", hailfinder_like),
     ):
-        factors, sizes, values = builder()
-        t0 = time.perf_counter()
-        tree = jt.create_junction_tree(factors, sizes)
-        build = time.perf_counter() - t0
-        eng = tree.engine().set_potentials(values)
-        observed = list(sizes)[:: 3]
-        evs = random_evidence_batch(tree.plan, batch, observed, seed=7)
-        masks = {
-            k: jnp.asarray(v)
-            for k, v in batch_masks_sparse(tree.plan, evs).items()
-        }
-        dt, ct = steady(eng.posterior_batch, masks, iters=10)
-        st = tree.stats()
-        log(
-            f"# {name}  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
-            f"(vars {st['num_vars']}, treewidth {st['treewidth']}, "
-            f"max_states {st['max_clique_states']}, plan {build*1e3:.0f} ms, "
-            f"compile {ct:.1f}s)"
-        )
-        record(f"{name} batched-evidence", round(batch / dt, 1), "queries/s",
-               batch=batch, step_ms=round(dt * 1e3, 3),
-               compile_s=round(ct, 2), treewidth=st["treewidth"],
-               max_clique_states=st["max_clique_states"])
+        try:
+            factors, sizes, values = builder()
+            t0 = time.perf_counter()
+            tree = jt.create_junction_tree(factors, sizes)
+            build = time.perf_counter() - t0
+            eng = tree.engine().set_potentials(values)
+            observed = list(sizes)[:: 3]
+            evs = random_evidence_batch(tree.plan, batch, observed, seed=7)
+            masks = {
+                k: jnp.asarray(v)
+                for k, v in batch_masks_sparse(tree.plan, evs).items()
+            }
+            dt, ct = steady(eng.posterior_batch, masks, iters=10)
+            st = tree.stats()
+            log(
+                f"# {name}  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
+                f"(vars {st['num_vars']}, treewidth {st['treewidth']}, "
+                f"max_states {st['max_clique_states']}, plan {build*1e3:.0f} ms, "
+                f"compile {ct:.1f}s)"
+            )
+            record(f"{name} batched-evidence", round(batch / dt, 1), "queries/s",
+                   batch=batch, step_ms=round(dt * 1e3, 3),
+                   compile_s=round(ct, 2), treewidth=st["treewidth"],
+                   max_clique_states=st["max_clique_states"])
+        except Exception as e:  # record the failure; keep the other BNs going
+            log(f"# {name} FAILED: {type(e).__name__}: {e}")
+            record(f"{name} batched-evidence", None, "queries/s",
+                   error=f"{type(e).__name__}: {e}")
 
 
 def bench_uai_serving(batch=10240):
@@ -316,36 +425,191 @@ def bench_uai_serving(batch=10240):
            max_clique_states=st["max_clique_states"])
 
 
+# ---------------------------------------------------------------------------
+# Scaling harness (VERDICT r2 #3): DP throughput at 1/2/4/8 devices.
+# On this single-chip dev box it runs in a subprocess on virtual CPU devices
+# (structure + efficiency methodology; absolute q/s is CPU-bound);
+# on a real pod the same harness uses the real mesh.
+# ---------------------------------------------------------------------------
+
+def scaling_inner():
+    """Runs inside the CPU subprocess: DP posterior_batch at 1/2/4/8 devs."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import grid_mrf_model
+    from junctiontree_tpu.parallel.mesh import make_mesh
+    from junctiontree_tpu.parallel.multihost import scaling_report
+
+    factors, sizes, values = grid_mrf_model(6, 6, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    batch = 4096
+    observed = list(sizes)[:8]
+    evs = random_evidence_batch(tree.plan, batch, observed, seed=1)
+    base_masks = batch_masks_sparse(tree.plan, evs)
+    devices = jax.devices()
+    qps_per_config = {}
+    for n in (1, 2, 4, 8):
+        if n > len(devices):
+            break
+        eng = tree.engine().set_potentials(values)
+        mesh = make_mesh(n_batch=n, n_model=1, devices=devices[:n])
+        eng.shard_batch(mesh)
+        masks = {k: jnp.asarray(v) for k, v in base_masks.items()}
+        dt, ct = steady(eng.posterior_batch, masks, iters=5)
+        qps_per_config[f"{n}dev"] = (n, batch / dt)
+        log(f"# scaling {n} devices: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s")
+    rep = scaling_report(qps_per_config)
+    out = dict(
+        harness="DP batched-evidence 6x6 grid, virtual CPU devices"
+        if jax.devices()[0].platform == "cpu" else "DP, real devices",
+        batch=batch, report=rep,
+    )
+    print(json.dumps(out))
+    return out
+
+
+def bench_scaling():
+    """Spawn the CPU-device scaling harness; record + write SCALING.json."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--scaling-inner"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    for line in p.stderr.splitlines():
+        if line.startswith("# scaling"):
+            log(line)
+    if p.returncode != 0:
+        record("DP scaling efficiency", None, "fraction",
+               error=p.stderr.strip()[-500:])
+        return
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    effs = [v["efficiency"] for v in out["report"].values()]
+    record("DP scaling efficiency (max devices)",
+           round(effs[-1], 3) if effs else None, "fraction", **out)
+    log(f"# scaling report: {out['report']}")
+
+
+CASES = {
+    "grid8": bench_grid_8x8,
+    "grid12": bench_grid_12x12,
+    "chain": bench_chain,
+    "big_clique": bench_big_clique,
+    "classic_bns": bench_classic_bns,
+    "uai": bench_uai_serving,
+    "tree_map": bench_tree_map,
+    "incremental": bench_incremental,
+    "loopy": bench_loopy,
+    "scaling": bench_scaling,
+}
+
+# cases that run in a fresh subprocess so earlier cases' compile-queue state
+# can't pollute their measurements (round-2 loopy compile anomaly)
+ISOLATED = {"loopy"}
+
+
+def run_case(name):
+    fn = CASES[name]
+    try:
+        fn()
+    except Exception as e:  # secondary benches must not kill the run
+        log(f"# {name} failed: {type(e).__name__}: {e}")
+        record(name, None, "error", error=f"{type(e).__name__}: {e}")
+
+
+def run_isolated(name):
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        tmp = f.name
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--only", name, "--json-all", tmp],
+            capture_output=True, text=True, timeout=1800, cwd=REPO,
+        )
+        for line in p.stderr.splitlines():
+            if line.startswith("# "):
+                log(line)
+        try:
+            with open(tmp) as f:
+                RESULTS.extend(json.load(f))
+        except (OSError, ValueError):
+            record(name, None, "error",
+                   error=f"isolated run rc={p.returncode}: "
+                         f"{p.stderr.strip()[-300:]}")
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def main():
-    fast = "--fast" in sys.argv
+    argv = sys.argv[1:]
+    if "--scaling-inner" in argv:
+        scaling_inner()
+        return
+    fast = "--fast" in argv
     json_all = None
-    if "--json-all" in sys.argv:
-        json_all = sys.argv[sys.argv.index("--json-all") + 1]
+    if "--json-all" in argv:
+        json_all = argv[argv.index("--json-all") + 1]
+    only = None
+    if "--only" in argv:
+        only = argv[argv.index("--only") + 1].split(",")
+    if "--scaling" in argv:
+        bench_scaling()
+        _write_artifacts(json_all)
+        return
     import jax
 
     log(f"# device: {jax.devices()[0].device_kind}")
-    qps = bench_grid_primary()
-    if not fast:
-        for b in (bench_grid_8x8, bench_chain, bench_big_clique,
-                  bench_classic_bns, bench_uai_serving,
-                  bench_tree_map, bench_loopy):
-            try:
-                b()
-            except Exception as e:  # secondary benches must not kill the run
-                log(f"# {b.__name__} failed: {type(e).__name__}: {e}")
-    if json_all:
-        with open(json_all, "w") as f:
-            json.dump(RESULTS, f, indent=1)
-    print(
-        json.dumps(
-            {
-                "metric": "batched-evidence queries/s, 6x6 grid MRF, 1 chip",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / BASELINE_QPS, 2),
-            }
+    qps = None
+    if only:
+        for name in only:
+            run_case(name)
+    else:
+        qps = bench_grid_primary()
+        if not fast:
+            for name in CASES:
+                if name in ISOLATED:
+                    run_isolated(name)
+                else:
+                    run_case(name)
+    _write_artifacts(json_all)
+    if qps is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "batched-evidence queries/s, 6x6 grid MRF, 1 chip",
+                    "value": round(qps, 1),
+                    "unit": "queries/s",
+                    "vs_baseline": round(qps / BASELINE_QPS, 2),
+                }
+            )
         )
-    )
+
+
+def _write_artifacts(json_all):
+    paths = [os.path.join(REPO, "BENCH_all.json")]
+    if json_all:
+        paths.append(json_all)
+    for path in paths:
+        try:
+            with open(path, "w") as f:
+                json.dump(RESULTS, f, indent=1)
+        except OSError as e:
+            log(f"# could not write {path}: {e}")
 
 
 if __name__ == "__main__":

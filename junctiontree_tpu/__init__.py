@@ -25,6 +25,7 @@ from .api import CliqueGraph, FactorGraph, JunctionTree, create_junction_tree
 from .approx import LoopyEngine
 from .evidence import apply_evidence, batch_masks, shrink_sizes
 from .executor import Engine, evidence_to_masks
+from .incremental import IncrementalSession
 from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SEMIRINGS, SUM_PRODUCT
 from .schedule import Plan, compile_plan
 
@@ -36,6 +37,7 @@ __all__ = [
     "CliqueGraph",
     "JunctionTree",
     "Engine",
+    "IncrementalSession",
     "LoopyEngine",
     "Plan",
     "compile_plan",

@@ -23,9 +23,23 @@ class Config:
     backend: str = "auto"                  # auto | python | native (C++ compiler)
     root: Optional[int] = None             # clique to root the tree at
 
-    # big-clique path: clique state-space size above which contractions go
-    # through the Pallas streaming kernel instead of plain einsum
+    # big-clique path: clique state-space size above which contractions are
+    # routed through the factored-weight contraction (Pallas streaming
+    # kernel or its XLA form — the winner per shape is MEASURED and cached,
+    # ops/autotune.py; VMEM-infeasible tilings always fall back to XLA)
     pallas_min_states: int = 1 << 17
+
+    # measure-and-cache kernel routing (pallas vs XLA per contraction
+    # shape); disable for fully deterministic trace times
+    autotune: bool = True
+
+    # distribute-pass Hugin division trick (ops/grouped.py
+    # grouped_divide_project): derive each child's down-message from the
+    # clique belief by guarded division instead of leave-one-out products —
+    # fewer combines, and the belief is reused for the marginal phase.
+    # Applied only for invertible semirings (sum/logsumexp) on cliques small
+    # enough that their belief is materialized anyway
+    distribute_division: bool = True
 
     # grouped-unrolled contraction path (ops/grouped.py): operand
     # state-space size above which batched message contractions are

@@ -84,14 +84,17 @@ def evaluate_cliques(
     plan: Plan,
     factor_values: Sequence[jnp.ndarray],
     semiring: Semiring = SUM_PRODUCT,
+    max_states: Optional[int] = None,
 ) -> List[jnp.ndarray]:
     """Initial clique potentials: product of assigned factors, broadcast to
     the full clique shape (Hugin initialization; role of reference
     ``CliqueGraph.evaluate``, junctiontree.py:203-226).
 
     ``factor_values`` are in the semiring's space already (use
-    ``semiring.from_linear`` at the boundary)."""
-    check_feasible(plan)
+    ``semiring.from_linear`` at the boundary).  ``max_states`` overrides the
+    single-chip feasibility cap (model-parallel engines pass their scaled
+    cap)."""
+    check_feasible(plan, max_states)
     if len(factor_values) != len(plan.factors):
         raise ValueError(
             "expected %d factor value arrays, got %d"
@@ -406,16 +409,21 @@ def _bcontract(semiring, operands, operand_vars, out_vars):
 
 def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states,
                           tp=None):
-    """Route a collect/distribute/marginal contraction through the Pallas
-    factored-weight kernel when the clique is large enough and every batched
-    operand is either a single-variable mask (evidence) or a child message
-    whose scope doesn't cross the output-separator boundary.  Returns the
-    [B, ...] result or None.
+    """Route a collect/distribute/marginal contraction through the factored
+    big-clique contraction (Pallas kernel or its XLA form — the winner is
+    measured and cached per shape, ops/autotune.py) when the clique is large
+    enough and every batched operand is either a single-variable mask
+    (evidence) or a child message whose scope doesn't cross the
+    output-separator boundary.  Returns (result, batched) or None.
 
-    ``tp = (mesh, tp_min_states, shard_batch)`` additionally routes cliques
-    with >= tp_min_states states through the model-axis-sharded contraction
-    (parallel/tp.tp_contract_fn) — this is how an Engine.shard_model engine
-    serves cliques larger than one chip instead of raising."""
+    ``tp = (mesh, tp_min_states, shard_batch, notes)`` additionally routes
+    cliques with >= tp_min_states states through the model-axis-sharded
+    contraction (parallel/tp.tp_contract_fn) — this is how an
+    Engine.shard_model engine serves cliques larger than one chip instead of
+    raising.  TP-oversized contractions that can't be factored (a message
+    crosses the separator boundary) fall back to the GSPMD einsum path and
+    append a diagnostic to ``notes`` so the gather is visible
+    (Engine.describe)."""
     if semiring.name != "sum_product":
         return None
     from .ops.pallas_contract import _kernel_flags, big_clique_sep_message
@@ -437,35 +445,61 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states,
                 msgs.append((tuple(v[1:]), o))
         else:
             unbatched.append((o, list(v)))
-    if not (batched or msgs) or not unbatched:
+    if not unbatched:
         return None
     scope: List[int] = []
     for _, v in unbatched:
         for x in v:
             if x not in scope:
                 scope.append(x)
+    states = 1
+    for x in scope:
+        states *= plan.sizes[x]
+    tp_sized = tp is not None and states >= tp[1]
+
+    def tp_note(reason):
+        if tp_sized and len(tp) > 3 and tp[3] is not None:
+            tp[3].append(
+                f"TP fallback (GSPMD gather) on {states:,}-state scope "
+                f"{scope} -> {list(out_vars)}: {reason}"
+            )
+
     if any(x not in scope for x in out_vars):
+        tp_note("output variables outside the unbatched scope")
         return None
     if any(x not in scope for _, x in batched):
+        tp_note("evidence mask outside the unbatched scope")
         return None
     out_set = set(out_vars)
     for vs, _ in msgs:
         if any(x not in scope for x in vs):
+            tp_note(f"message scope {vs} outside the unbatched scope")
             return None
         # a message must factor entirely into the kernel weights (rest
         # scope) or entirely into the output (separator scope)
         if not (all(x in out_set for x in vs)
                 or all(x not in out_set for x in vs)):
+            tp_note(f"message scope {vs} crosses the separator boundary")
             return None
-    states = 1
-    for x in scope:
-        states *= plan.sizes[x]
     contract_fn = None
-    if tp is not None and states >= tp[1]:
+    squeeze = False
+    if tp_sized:
         from .parallel.tp import tp_contract_fn
 
         contract_fn = tp_contract_fn(tp[0], shard_batch=tp[2])
-    elif not use or states < min_states:
+        if not (batched or msgs):
+            # no batched operand touches this oversized clique (e.g.
+            # posterior_batch with evidence elsewhere): run the sharded
+            # contraction with a unit batch of ones weights so the
+            # flat-sharded potential is never gathered onto one chip
+            rest0 = [x for x in scope if x not in out_set]
+            if not rest0:
+                tp_note("contraction reduces nothing (scope == output)")
+                return None
+            v0 = rest0[0]
+            batched = [(jnp.ones((1, plan.sizes[v0]), jnp.float32), v0)]
+            squeeze = True
+    elif not use or states < min_states or not (batched or msgs):
         return None
     pot = (
         unbatched[0][0]
@@ -477,10 +511,13 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states,
     masks: Dict[int, jnp.ndarray] = {}
     for o, x in batched:
         masks[x] = o if x not in masks else masks[x] * o
-    return big_clique_sep_message(
+    out = big_clique_sep_message(
         pot, scope, masks, list(out_vars), msgs=msgs, interpret=interp,
         contract_fn=contract_fn,
     )
+    if squeeze:
+        return out[0], False
+    return out, True
 
 
 def batched_propagate_program(
@@ -527,6 +564,16 @@ def batched_propagate_program(
     min_states = _CFG.pallas_min_states
     grouped_min = _CFG.grouped_min_states
     unroll_cap = _CFG.grouped_unroll_cap
+    # Hugin division trick on the distribute pass (reference semantics,
+    # /root/reference/junctiontree/computation.py:99-136, with the same
+    # zeros-stay-zeros guard): derive each child's down-message from the
+    # clique belief by one guarded divide at separator size instead of a
+    # leave-one-out product — and the belief is reused by the marginal
+    # phase.  Invertible semirings only; big cliques keep leave-one-out so
+    # [B, clique_states] is never materialized.
+    divide_ok = _CFG.distribute_division and semiring.name in (
+        "sum_product", "log_sum_exp"
+    )
 
     def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
         # big-clique potentials are kept FLAT throughout the program (TPU
@@ -549,7 +596,7 @@ def batched_propagate_program(
                 plan, semiring, ops, ovs, outv, min_states, tp=tp
             )
             if routed is not None:
-                return routed, True
+                return routed
             # big-operand batched contractions: grouped low-rank form —
             # high-rank einsums cost ~58 s of TPU compile EACH; big
             # results stay flat so no high-rank tensor ever materializes
@@ -603,6 +650,10 @@ def batched_propagate_program(
             upv[c] = ([BATCH] if b else []) + list(svars[tree.parent_sep[c]])
 
         # distribute
+        from .ops.grouped import grouped_divide_project
+
+        BELIEF_STATES_CAP = 1 << 12
+        belief_cache: Dict[int, tuple] = {}
         down: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
         downv: List[Optional[List[int]]] = [None] * tree.num_cliques
         for p in tree.topo_order:
@@ -613,6 +664,27 @@ def batched_propagate_program(
             if p != tree.root:
                 pops.append(down[p])
                 povs.append(downv[p])
+            if divide_ok and _vars_states(
+                plan.sizes, cvars[p]
+            ) <= BELIEF_STATES_CAP:
+                ops = list(pops)
+                ovs = list(povs)
+                for k2, _ in kids:
+                    ops.append(up[k2])
+                    ovs.append(upv[k2])
+                bel, bb = contract(ops, ovs, list(cvars[p]))
+                belief_cache[p] = (bel, bb)
+                belv = ([BATCH] if bb else []) + list(cvars[p])
+                for k, s in kids:
+                    out = grouped_divide_project(
+                        semiring, bel, belv, up[k], upv[k],
+                        plan.sizes, BATCH,
+                    )
+                    if rescale:
+                        out = rescale_msg(out, bb, track=False)
+                    down[k] = out
+                    downv[k] = ([BATCH] if bb else []) + list(svars[s])
+                continue
             for i, (k, s) in enumerate(kids):
                 ops = list(pops)
                 ovs = list(povs)
@@ -642,10 +714,8 @@ def batched_propagate_program(
         # smaller HLO ops than one multi-operand contraction per variable
         # (cuts XLA compile time ~2x on many-clique models).  Big cliques
         # keep the per-variable contraction so [B, clique_states] is never
-        # materialized.
-        BELIEF_STATES_CAP = 1 << 12
-        belief_cache: Dict[int, tuple] = {}
-
+        # materialized.  Beliefs already materialized by the distribute
+        # pass's division path are reused from belief_cache.
         def clique_belief(c):
             ent = belief_cache.get(c)
             if ent is None:
@@ -671,8 +741,14 @@ def batched_propagate_program(
                 out = jnp.broadcast_to(out[None, :], (B, out.shape[0]))
             margs.append(out)
 
-        rops, rovs = node_ops(tree.root)
-        z, b = contract(rops, rovs, [])
+        if tree.root in belief_cache:
+            zbel, zb = belief_cache[tree.root]
+            z, b = contract(
+                [zbel], [([BATCH] if zb else []) + list(cvars[tree.root])], []
+            )
+        else:
+            rops, rovs = node_ops(tree.root)
+            z, b = contract(rops, rovs, [])
         if not b:
             z = jnp.broadcast_to(z[None], (B,)) if z.ndim == 0 else z
         if rescale:
@@ -709,7 +785,11 @@ class Engine:
         sr = semiring
 
         def _propagate_values(factor_values: List[jnp.ndarray]):
-            pots = evaluate_cliques(plan, factor_values, sr)
+            # cap read at trace time: a shard_model engine admits cliques up
+            # to MAX_CLIQUE_STATES * n_model on every entry path
+            pots = evaluate_cliques(
+                plan, factor_values, sr, max_states=self._feasible_cap()
+            )
             beliefs, _ = propagate_cliques(plan, pots, sr)
             return factor_marginals(plan, beliefs, sr)
 
@@ -724,7 +804,9 @@ class Engine:
 
         self._propagate_jit = jax.jit(_propagate_values)
         self._evaluate_jit = jax.jit(
-            lambda vals: evaluate_cliques(plan, vals, sr)
+            lambda vals: evaluate_cliques(
+                plan, vals, sr, max_states=self._feasible_cap()
+            )
         )
         self._query_jit = jax.jit(_query)
         self._query_batch_jit = jax.jit(
@@ -742,6 +824,10 @@ class Engine:
         self._model_mesh = None          # set by shard_model()
         self._tp_min_states: int = 0
         self._tp_shard_batch = False
+        self._tp_notes: List[str] = []  # GSPMD-fallback diagnostics
+        self._seq_mesh = None            # set by shard_sequence()
+        self._seq_axis: str = "batch"
+        self._seq_min_len: int = 2048
 
     def _chain_layout(self):
         if self._chain is None:
@@ -846,7 +932,16 @@ class Engine:
         st["cached_programs"] = sorted(
             str(k[0]) for k in self._batched_cache
         )
-        st["phase_totals_s"] = TIMERS.report()
+        # process-wide phase totals (the TIMERS registry is shared by every
+        # engine/plan in the process; reset via utils.timing.TIMERS.reset())
+        st["process_phase_totals_s"] = TIMERS.report()
+        if self._model_mesh is not None:
+            st["tp_fallbacks"] = list(self._tp_notes)
+        from .ops.autotune import report as _autotune_report
+
+        rt = _autotune_report()
+        if rt:
+            st["kernel_routing"] = rt
         return st
 
     def __repr__(self) -> str:
@@ -968,11 +1063,33 @@ class Engine:
             self._pots = self._device_put_pots(self._pots_np)
         return self
 
+    def shard_sequence(
+        self, mesh, axis: str = "batch", min_len: int = 2048
+    ) -> "Engine":
+        """Sequence parallelism for chain plans (the SP/ring analog,
+        SURVEY.md §2.3): shard the chain-STEP axis of the prestacked
+        transition tensor over ``axis`` of ``mesh`` and serve
+        ``posterior_batch`` through the log-depth associative-scan program
+        (scan_executor.chain_posterior_parallel_program) — XLA inserts the
+        inter-device collectives for the blockwise prefix products.
+
+        Only engaged when the plan is a uniform chain of at least
+        ``min_len`` cliques (the parallel program does K^3 work per step vs
+        the sequential program's K^2, so short chains on few devices prefer
+        the sequential scan).  Non-chain plans ignore this setting."""
+        self._seq_mesh = mesh
+        self._seq_axis = axis
+        self._seq_min_len = int(min_len)
+        self._batched_cache.clear()
+        self._chain_A = None
+        return self
+
     def _tp(self):
         """TP routing tuple for batched_propagate_program (or None)."""
         if self._model_mesh is None:
             return None
-        return (self._model_mesh, self._tp_min_states, self._tp_shard_batch)
+        return (self._model_mesh, self._tp_min_states, self._tp_shard_batch,
+                self._tp_notes)
 
     def _feasible_cap(self) -> Optional[int]:
         if self._model_mesh is None:
@@ -1015,11 +1132,27 @@ class Engine:
         n_model = int(self._model_mesh.shape[MODEL_AXIS])
         sh = NamedSharding(self._model_mesh, PartitionSpec(MODEL_AXIS))
         out = []
-        for p in pots:
-            if p.size >= self._tp_min_states and p.size % n_model == 0:
-                out.append(jax.device_put(p.reshape(-1), sh))
-            else:
-                out.append(jax.device_put(p))
+        for c, p in enumerate(pots):
+            if p.size >= self._tp_min_states:
+                if p.size % n_model == 0:
+                    out.append(jax.device_put(p.reshape(-1), sh))
+                    continue
+                # flat sharding needs n_model | states; a mixed-cardinality
+                # clique (e.g. 3^k states on a 4-way axis) can't be placed
+                # sharded — refuse if it exceeds one chip's cap instead of
+                # silently placing it whole (ADVICE r2)
+                if p.size > MAX_CLIQUE_STATES:
+                    raise ValueError(
+                        f"clique {c} has {p.size:,} states — above the "
+                        f"single-chip cap and not divisible by the model "
+                        f"axis size {n_model}; use a model-axis size that "
+                        f"divides the clique state space"
+                    )
+                self._tp_notes.append(
+                    f"clique {c} ({p.size:,} states) not divisible by "
+                    f"model axis {n_model}; placed unsharded on one device"
+                )
+            out.append(jax.device_put(p))
         return out
 
     def _masks_to_program_args(self, mask_batch):
@@ -1143,25 +1276,50 @@ class Engine:
                 and self._pots_np is not None
             ):
                 # chain-structured tree: O(1)-compile lax.scan forward-backward
+                # (or, with shard_sequence on a long chain, the log-depth
+                # associative-scan program with the step axis sharded)
                 from .scan_executor import (
                     StackedPosteriors,
+                    chain_posterior_parallel_program,
                     chain_posterior_program,
                     stack_chain_potentials,
                 )
 
                 layout = self._chain_layout()
-                prog = chain_posterior_program(self.plan, layout)
+                seq_parallel = (
+                    self._seq_mesh is not None
+                    and len(layout.clique_order) >= self._seq_min_len
+                )
+                if seq_parallel:
+                    prog = chain_posterior_parallel_program(self.plan, layout)
+                else:
+                    prog = chain_posterior_program(self.plan, layout)
                 id_list = list(ids)
                 jfn = jax.jit(
                     lambda A, ms: prog(A, dict(zip(id_list, ms)))
                 )
                 A_holder = self
 
+                def _put_chain_A(stacked):
+                    if seq_parallel:
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        n = int(self._seq_mesh.shape[self._seq_axis])
+                        if stacked.shape[0] % n == 0:
+                            return jax.device_put(
+                                stacked,
+                                NamedSharding(
+                                    self._seq_mesh,
+                                    PartitionSpec(self._seq_axis),
+                                ),
+                            )
+                    return jax.device_put(stacked)
+
                 def posterior_fn(pots, masks, _jfn=jfn, _lay=layout):
                     # rebuild the prestacked transitions if set_potentials
                     # reset them (the program itself is evergreen)
                     if A_holder._chain_A is None:
-                        A_holder._chain_A = jax.device_put(
+                        A_holder._chain_A = _put_chain_A(
                             stack_chain_potentials(_lay, A_holder._pots_np)
                         )
                     stacked, logz = _jfn(A_holder._chain_A, masks)
@@ -1386,6 +1544,20 @@ class Engine:
                     return -np.inf
                 total += float(np.log(val))
         return total
+
+    def incremental(self, mask_batch) -> "IncrementalSession":
+        """Open an incremental-evidence serving session: one collect pass is
+        cached, and subsequent single/few-variable evidence deltas reuse
+        every unaffected message — O(tree depth) work per delta instead of
+        O(cliques) (incremental.IncrementalSession; subsumes the reference's
+        incremental tree surgery, construction.py:356-428, as the
+        user-facing capability).
+
+        ``mask_batch``: dict {var label: [B, size_v] linear masks} — the
+        base evidence; unlisted variables are unobserved."""
+        from .incremental import IncrementalSession
+
+        return IncrementalSession(self, mask_batch)
 
     def query_batch_vmap(self, mask_batch: Sequence[jnp.ndarray]):
         """vmap-based batched path (every operand batched); kept for

@@ -1,0 +1,315 @@
+"""Incremental evidence serving: collect-message reuse across evidence deltas.
+
+The reference exposes incremental *tree surgery* (merge_trees / change_root /
+insert_sepset, /root/reference/junctiontree/construction.py:356-428) but no
+incremental *inference* — every evidence change re-propagates the whole tree
+(README.md:152-166 even rebuilds it).  Here the static schedule makes
+dirty-subtree tracking trivial host-side:
+
+  * a session runs ONE full collect pass and caches every upward message
+    (with its HMM-style rescaling offset, so logZ stays exact);
+  * an evidence delta on variable v dirties only the cliques on the path
+    from v's clique to the root — the delta program recomputes those
+    messages (reusing cached ups of every off-path subtree) and then walks
+    down only toward the requested query variables;
+  * per delta the work is O(depth x clique) instead of O(n_cliques x
+    clique) — the serving win for single-variable updates (point-of-sale
+    style "what changes if this one observation flips").
+
+Programs are jitted per (dirty-variable set, query-variable set) and cached
+on the session; shapes are static so one compiled program serves every
+batch of deltas with that signature.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .executor import BATCH, _bcontract
+from .ops.semirings import Semiring
+from .schedule import Plan
+
+_TINY = 1e-38
+
+
+def _clique_mask_vars(plan: Plan, observed: Sequence[int]) -> List[List[int]]:
+    out: List[List[int]] = [[] for _ in range(plan.tree.num_cliques)]
+    for v in observed:
+        out[plan.var_to_clique[v]].append(v)
+    return out
+
+
+def _rescale(out, batched):
+    axes = tuple(range(1, out.ndim)) if batched else None
+    s = jnp.maximum(jnp.max(out, axis=axes, keepdims=batched), _TINY)
+    off = jnp.log(s.reshape(s.shape[0]) if batched else s)
+    return out / s, off
+
+
+def collect_program(plan: Plan, semiring: Semiring, observed: Sequence[int]):
+    """Build ``fn(pots, masks) -> (ups, offs)`` plus the static batch flags.
+
+    ``ups[c]`` is clique c's rescaled upward message to its parent separator
+    (None at the root); ``offs[c]`` the log of its rescale factor.  Batch
+    flags are static: a message is batched iff evidence reaches its subtree.
+    """
+    tree = plan.tree
+    cvars = plan.clique_vars
+    svars = plan.sep_vars
+    observed = list(observed)
+    mask_slot = {v: i for i, v in enumerate(observed)}
+    cmv = _clique_mask_vars(plan, observed)
+
+    batched: List[bool] = [False] * tree.num_cliques
+    for c in reversed(tree.topo_order):
+        b = bool(cmv[c])
+        for k, _ in tree.children[c]:
+            b = b or batched[k]
+        batched[c] = b
+
+    def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
+        ups: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
+        offs: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
+        for c in reversed(tree.topo_order):
+            if c == tree.root:
+                continue
+            ops = [pots[c]]
+            ovs: List[List[int]] = [list(cvars[c])]
+            for v in cmv[c]:
+                ops.append(masks[mask_slot[v]])
+                ovs.append([BATCH, v])
+            for k, s in tree.children[c]:
+                ops.append(ups[k])
+                ovs.append(([BATCH] if batched[k] else []) + list(svars[s]))
+            out, b = _bcontract(
+                semiring, ops, ovs, svars[tree.parent_sep[c]]
+            )
+            ups[c], offs[c] = _rescale(out, b)
+        return ups, offs
+
+    return fn, batched
+
+
+def delta_program(
+    plan: Plan,
+    semiring: Semiring,
+    observed: Sequence[int],
+    base_batched: Sequence[bool],
+    dirty_vars: Sequence[int],
+    query_vars: Sequence[int],
+):
+    """Build ``fn(pots, base_masks, new_masks, ups, offs) ->
+    (posteriors per query var [B, size], logZ [B])``.
+
+    Only messages on the dirty-to-root paths are recomputed; downward
+    messages are computed only along root-to-query paths."""
+    tree = plan.tree
+    cvars = plan.clique_vars
+    svars = plan.sep_vars
+    root = tree.root
+    observed = list(observed)
+    mask_slot = {v: i for i, v in enumerate(observed)}
+    dirty_vars = list(dirty_vars)
+    dirty_slot = {v: i for i, v in enumerate(dirty_vars)}
+    all_vars = observed + [v for v in dirty_vars if v not in mask_slot]
+    cmv = _clique_mask_vars(plan, all_vars)
+
+    # cliques whose upward message changes: dirty-to-root paths
+    affected: set = set()
+    for v in dirty_vars:
+        c = plan.var_to_clique[v]
+        while c != root and c not in affected:
+            affected.add(c)
+            c = tree.parent[c]
+    recompute = [c for c in reversed(tree.topo_order) if c in affected]
+
+    # static batch flags after the delta (new masks are always batched)
+    upb: List[bool] = list(base_batched)
+    for c in affected:
+        upb[c] = True
+
+    # downward walk: union of root-to-query-clique paths, parents first
+    qclique = {v: plan.var_to_clique[v] for v in query_vars}
+    need_down: set = set()
+    for c in set(qclique.values()):
+        while c != root and c not in need_down:
+            need_down.add(c)
+            c = tree.parent[c]
+    down_order = [c for c in tree.topo_order if c in need_down]
+
+    def fn(pots, base_masks, new_masks, ups, offs):
+        ups = list(ups)
+        offs = list(offs)
+
+        def mask_for(v):
+            if v in dirty_slot:
+                return new_masks[dirty_slot[v]]
+            return base_masks[mask_slot[v]]
+
+        def clique_ops(c):
+            ops = [pots[c]]
+            ovs: List[List[int]] = [list(cvars[c])]
+            for v in cmv[c]:
+                ops.append(mask_for(v))
+                ovs.append([BATCH, v])
+            return ops, ovs
+
+        def up_operand(k, s):
+            return ups[k], ([BATCH] if upb[k] else []) + list(svars[s])
+
+        # -- recompute collect messages on the dirty paths --
+        for c in recompute:
+            ops, ovs = clique_ops(c)
+            for k, s in tree.children[c]:
+                o, v = up_operand(k, s)
+                ops.append(o)
+                ovs.append(v)
+            out, b = _bcontract(
+                semiring, ops, ovs, svars[tree.parent_sep[c]]
+            )
+            ups[c], offs[c] = _rescale(out, b)
+
+        # -- logZ at the root (collect offsets make it exact) --
+        rops, rovs = clique_ops(root)
+        for k, s in tree.children[root]:
+            o, v = up_operand(k, s)
+            rops.append(o)
+            rovs.append(v)
+        z, zb = _bcontract(semiring, rops, rovs, [])
+        total_off = jnp.zeros(())
+        for c in range(tree.num_cliques):
+            if c != root:
+                total_off = total_off + offs[c]
+        logz = jnp.where(
+            z > 0, jnp.log(jnp.maximum(z, _TINY)), -jnp.inf
+        ) + total_off
+
+        # -- downward messages along root-to-query paths only --
+        down: Dict[int, jnp.ndarray] = {}
+        downv: Dict[int, List[int]] = {}
+        for c in down_order:
+            p = tree.parent[c]
+            ops, ovs = clique_ops(p)
+            if p != root:
+                ops.append(down[p])
+                ovs.append(downv[p])
+            for k, s in tree.children[p]:
+                if k != c:
+                    o, v = up_operand(k, s)
+                    ops.append(o)
+                    ovs.append(v)
+            out, b = _bcontract(
+                semiring, ops, ovs, svars[tree.parent_sep[c]]
+            )
+            out, _ = _rescale(out, b)  # scale cancels in the normalization
+            down[c] = out
+            downv[c] = ([BATCH] if b else []) + list(svars[tree.parent_sep[c]])
+
+        # -- query posteriors --
+        B = jnp.shape(new_masks[0])[0]
+        posts: List[jnp.ndarray] = []
+        for v in query_vars:
+            q = qclique[v]
+            ops, ovs = clique_ops(q)
+            if q != root:
+                ops.append(down[q])
+                ovs.append(downv[q])
+            for k, s in tree.children[q]:
+                o, vv = up_operand(k, s)
+                ops.append(o)
+                ovs.append(vv)
+            m, b = _bcontract(semiring, ops, ovs, [v])
+            if not b:
+                m = jnp.broadcast_to(m[None, :], (B, m.shape[0]))
+            m = m / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), _TINY)
+            posts.append(m)
+        return posts, logz
+
+    return fn
+
+
+class IncrementalSession:
+    """Cached-collect serving session (see module docstring).
+
+    Create via ``Engine.incremental(mask_batch)``; query with
+    ``session.query(updates, query_vars)`` where ``updates`` maps variable
+    labels to [B, size] linear-space masks replacing that variable's base
+    mask, and ``query_vars`` are the labels whose posteriors to return.
+    ``rebase(updates)`` folds updates into the base (one fresh collect)."""
+
+    def __init__(self, engine, mask_batch):
+        if engine.semiring.name != "sum_product":
+            raise ValueError(
+                "incremental sessions require the sum_product semiring "
+                "(rescaled linear messages)"
+            )
+        if engine._model_mesh is not None:
+            raise ValueError(
+                "incremental sessions do not support model-sharded engines"
+            )
+        self.engine = engine
+        self.plan = engine.plan
+        self._pots = engine._require_pots()
+        ids, masks = engine._masks_to_program_args(mask_batch)
+        self._ids = ids
+        self._masks = masks
+        self._B = int(masks[0].shape[0]) if masks else 1
+        prog, self._batched = collect_program(
+            self.plan, engine.semiring, list(ids)
+        )
+        self._collect_jit = jax.jit(prog)
+        self._ups, self._offs = self._collect_jit(self._pots, masks)
+        self._delta_cache: Dict[tuple, "jax.stages.Wrapped"] = {}
+
+    def _resolve(self, labels) -> Tuple[int, ...]:
+        return tuple(self.plan.table.id_of(k) for k in labels)
+
+    def query(self, updates: Dict[Hashable, jnp.ndarray], query_vars):
+        """Posteriors of ``query_vars`` + logZ under the base evidence with
+        ``updates`` substituted.  The cached collect messages outside the
+        dirty subtrees are reused; cost is O(path depth), not O(cliques)."""
+        if not updates:
+            raise ValueError("query() needs at least one updated mask")
+        dirty = self._resolve(updates)
+        qids = self._resolve(query_vars)
+        new_masks = [jnp.asarray(updates[k]) for k in updates]
+        for v, m in zip(dirty, new_masks):
+            if m.shape != (self._B, self.plan.sizes[v]):
+                raise ValueError(
+                    "update mask for %r must be [%d, %d], got %r"
+                    % (v, self._B, self.plan.sizes[v], tuple(m.shape))
+                )
+        key = (dirty, qids)
+        fn = self._delta_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                delta_program(
+                    self.plan, self.engine.semiring, list(self._ids),
+                    self._batched, list(dirty), list(qids),
+                )
+            )
+            self._delta_cache[key] = fn
+        return fn(self._pots, self._masks, new_masks, self._ups, self._offs)
+
+    def rebase(self, updates: Dict[Hashable, jnp.ndarray]) -> "IncrementalSession":
+        """Fold ``updates`` into the base evidence and refresh the cached
+        collect messages (one full collect pass)."""
+        by_id = {self.plan.table.id_of(k): jnp.asarray(v)
+                 for k, v in updates.items()}
+        masks = list(self._masks)
+        ids = list(self._ids)
+        for v, m in by_id.items():
+            if v in ids:
+                masks[ids.index(v)] = m
+            else:
+                raise KeyError(
+                    "rebase variable %r is not part of the session's "
+                    "observed set" % (v,)
+                )
+        self._masks = masks
+        self._ups, self._offs = self._collect_jit(self._pots, masks)
+        return self

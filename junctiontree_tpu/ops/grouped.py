@@ -108,11 +108,12 @@ def grouped_divide_project(
 ) -> jnp.ndarray:
     """Hugin division trick at grouped rank: ``reduce(belief ⊘ msg -> msg_vars)``.
 
-    ``belief`` is a clique belief over ``belief_vars`` (batched, maybe
-    flat), ``msg`` the child's collect message over ``msg_vars ⊆
-    belief_vars`` (batched, maybe flat); returns the distribute message to
-    that child over exactly ``msg_vars``.  Division is guarded the way the
-    reference guards it (zeros stay zeros,
+    ``belief`` is a clique belief over ``belief_vars`` (maybe batched,
+    maybe flat), ``msg`` the child's collect message over ``msg_vars ⊆
+    belief_vars`` (maybe batched, maybe flat; an unbatched msg divides a
+    batched belief by broadcast); returns the distribute message to that
+    child over exactly ``msg_vars``, batched iff the belief is.  Division
+    is guarded the way the reference guards it (zeros stay zeros,
     /root/reference/junctiontree/computation.py:131-136): entries where the
     divisor is the semiring zero produce the semiring zero, which is
     provably harmless downstream (the reference's division-vs-
@@ -120,6 +121,8 @@ def grouped_divide_project(
     for semirings with invertible ⊗ (sum-product, log-sum-exp) — callers
     gate max-product to the leave-one-out path.
     """
+    b_batched = bool(belief_vars) and belief_vars[0] == batch_label
+    m_batched = bool(msg_vars) and msg_vars[0] == batch_label
     bvars = [v for v in belief_vars if v != batch_label]
     mvars = [v for v in msg_vars if v != batch_label]
     mset = set(mvars)
@@ -132,24 +135,27 @@ def grouped_divide_project(
             runs[-1][0] *= sizes[v]
         else:
             runs.append([sizes[v], inm])
-    bview = belief.reshape([belief.shape[0]] + [r[0] for r in runs])
+    blead = belief.shape[0] if b_batched else 1
+    bview = belief.reshape([blead] + [r[0] for r in runs])
     red = tuple(1 + i for i, r in enumerate(runs) if not r[1])
     sep_marg = semiring._reduce(bview, red) if red else bview
     # divide after the reduce (the divisor is constant over reduced axes,
     # so this commutes — and runs on [B, sep] instead of [B, clique])
-    mview = msg.reshape(sep_marg.shape)
+    mlead = msg.shape[0] if m_batched else 1
+    mview = msg.reshape([mlead] + list(sep_marg.shape[1:]))
     if semiring.is_log:
         out = jnp.where(jnp.isneginf(mview), -jnp.inf, sep_marg - mview)
     else:
         out = jnp.where(
             mview != 0, sep_marg / jnp.where(mview != 0, mview, 1.0), 0.0
         )
+    lead = [out.shape[0]] if b_batched else []
     if flat_out:
         tot = 1
         for v in mvars:
             tot *= sizes[v]
-        return out.reshape([out.shape[0], tot])
-    return out.reshape([out.shape[0]] + [sizes[v] for v in mvars])
+        return out.reshape(lead + [tot])
+    return out.reshape(lead + [sizes[v] for v in mvars])
 
 
 def grouped_batched_contract(

@@ -69,6 +69,91 @@ def reference_factored_contract(
     return jnp.einsum("rsc,br,bs->bc", pot, w1, w2, precision="highest")
 
 
+# ---------------------------------------------------------------------------
+# Tile planning.  The kernel's VMEM working set must fit the per-core scoped
+# VMEM budget or XLA refuses to compile ("Ran out of memory in memory space
+# vmem" — the round-2 Hailfinder failure, BENCH_r02.json: a [4096, 46656]
+# output block at C=46656).  plan_tiles() picks (TB, TR1, TC) explicitly and
+# reports the resulting VMEM bytes; callers use it BOTH to configure the
+# kernel and as the routing feasibility gate (None => use the XLA path).
+# ---------------------------------------------------------------------------
+
+# per-core scoped VMEM the kernel may use (v5e/v4 expose 16 MiB to Mosaic
+# kernels by default; leave headroom for Mosaic's own scratch)
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def plan_tiles(
+    R1: int,
+    R2: int,
+    C: int,
+    B: int,
+    *,
+    block_b: int = 256,
+    block_r1: int = 8,
+    vmem_budget: int = VMEM_BUDGET,
+) -> Optional[dict]:
+    """Choose kernel tiles for the [R1,R2,C] x [B,R1] x [B,R2] contraction.
+
+    Returns {TB, TR1, TC, R1p, Bp, Cp, vmem_bytes} or None when no tiling
+    fits ``vmem_budget`` (the caller then uses the XLA fallback).  Accounting
+    (float32, pipelined inputs double-buffered):
+      w1t block  (R1p, TB)       x2
+      w2  block  (TB,  R2)       x2
+      pot block  (TR1, TC, R2)   x2
+      out block  (TB,  TC)       x1  (revisited accumulator)
+    """
+
+    def bytes_for(TB, TR1, TC, R1p):
+        return 4 * (
+            2 * R1p * TB + 2 * TB * R2 + 2 * TR1 * TC * R2 + TB * TC
+        )
+
+    # C tile: full C when small (separators are usually tiny — keeps the
+    # round-1/2 behavior and grid); otherwise a multiple of 128, which is
+    # lane-aligned for the out block and sublane-aligned for the pot block.
+    # Among feasible (TB, TC) combinations prefer the largest batch tile
+    # (MXU utilization), then the largest C tile (fewer grid steps).
+    c_full = _round_up(C, 8)
+    tc_candidates = [c_full] + [t for t in (512, 256, 128) if t < c_full]
+    best = None
+    for TC in tc_candidates:
+        tb = min(block_b, _round_up(B, 8))
+        while tb >= 8:
+            # pot-block budget after the fixed-per-TB blocks (w1t full-R1
+            # height is the worst case: TR1=R1 -> R1p=R1)
+            other = 4 * (2 * R1 * tb + 2 * tb * R2 + tb * TC)
+            rem = vmem_budget - other
+            tr1_fit = rem // (4 * 2 * TC * R2) if rem > 0 else 0
+            if tr1_fit < 1:
+                tb //= 2
+                continue
+            TR1 = max(1, min(block_r1, int(tr1_fit), R1))
+            R1p = _round_up(R1, TR1)
+            total = bytes_for(tb, TR1, TC, R1p)
+            if total <= vmem_budget:
+                if best is None or (tb, TC) > (best["TB"], best["TC"]):
+                    best = dict(
+                        TB=tb, TR1=TR1, TC=TC, R1p=R1p,
+                        Bp=_round_up(B, tb),
+                        Cp=_round_up(C, TC),
+                        vmem_bytes=int(total),
+                    )
+                break
+            tb //= 2
+    return best
+
+
+def contraction_flops(R1: int, R2: int, C: int, B: int) -> int:
+    """MXU FLOPs of the factored contraction (the per-r1 matmuls)."""
+    return 2 * B * R1 * R2 * C
+
+
+def contraction_hbm_bytes(R1: int, R2: int, C: int, B: int) -> int:
+    """Minimal HBM traffic (read pot + weights once, write out once)."""
+    return 4 * (R1 * R2 * C + B * (R1 + R2 + C))
+
+
 def factored_masked_contract(
     pot: jnp.ndarray,
     w1: jnp.ndarray,
@@ -78,19 +163,38 @@ def factored_masked_contract(
     block_r1: int = 8,
     interpret: bool = False,
     precision: str = "highest",
+    vmem_budget: int = VMEM_BUDGET,
 ) -> jnp.ndarray:
     """out[b, c] = sum_{r1, r2} pot[r1, r2, c] * w1[b, r1] * w2[b, r2].
 
     pot: [R1, R2, C] float32, w1: [B, R1], w2: [B, R2].  Shapes are padded
     to TPU tile multiples internally (zero padding contributes nothing).
     precision: "highest" = float32-accumulated MXU passes (exact-inference
-    default), "default" = bf16 passes (~2x faster, ~1e-3 relative error)."""
+    default), "default" = bf16 passes (~2x faster, ~1e-3 relative error).
+
+    Tiles are planned by :func:`plan_tiles` against the scoped-VMEM budget;
+    large separators are streamed in TC-sized column tiles (the round-2
+    Hailfinder VMEM OOM was exactly the untiled-C case).  Raises ValueError
+    when no tiling fits — callers gate on ``plan_tiles(...) is not None``
+    and take the XLA path instead."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R1, R2, C = pot.shape
     B = w1.shape[0]
     assert w1.shape == (B, R1) and w2.shape == (B, R2)
+
+    tiles = plan_tiles(
+        R1, R2, C, B,
+        block_b=block_b, block_r1=block_r1, vmem_budget=vmem_budget,
+    )
+    if tiles is None:
+        raise ValueError(
+            f"no VMEM-feasible tiling for factored contraction "
+            f"R1={R1} R2={R2} C={C} B={B}; use the XLA fallback"
+        )
+    TB, TR1, TC = tiles["TB"], tiles["TR1"], tiles["TC"]
+    R1p, Bp, Cp = tiles["R1p"], tiles["Bp"], tiles["Cp"]
 
     dtype = jnp.float32
     pot = pot.astype(dtype)
@@ -101,35 +205,26 @@ def factored_masked_contract(
     # axis lands on the 128-lane dimension and the (often tiny) separator
     # axis C on sublanes — a trailing tiny dim would be lane-padded to 128
     # in VMEM (64x blowup at C=2).  The matmul contracts last-against-last:
-    #   partial[TB, C] = w2[TB, R2] . pot_i[C, R2]^T
-    # Tiling: TB batch tile; TR1 r1 tile auto-sized to a VMEM budget using
-    # the padded sublane extent of C.
-    # cap the batch tile so the double-buffered w2 block fits VMEM even for
-    # very wide R2 (w2 block is TB x R2)
-    tb_fit = max(128, (3 * 1024 * 1024) // max(R2 * 4, 1) // 128 * 128)
-    TB = min(block_b, tb_fit, _round_up(B, 8))
-    Bp = _round_up(B, TB)
-    vmem_budget = 2 * 1024 * 1024  # bytes for the potential block
-    c_pad = _round_up(C, 8)
-    tr1_fit = max(1, vmem_budget // max(c_pad * R2 * 4, 1))
-    TR1 = max(1, min(block_r1, tr1_fit, R1))
-    R1p = _round_up(R1, TR1)
+    #   partial[TB, TC] = w2[TB, R2] . pot_i[TC, R2]^T
     pot = jnp.transpose(pot, (0, 2, 1))  # [R1, C, R2]
-    if R1p != R1:
-        pot = jnp.pad(pot, ((0, R1p - R1), (0, 0), (0, 0)))
+    if R1p != R1 or Cp != C:
+        pot = jnp.pad(pot, ((0, R1p - R1), (0, Cp - C), (0, 0)))
         w1 = jnp.pad(w1, ((0, 0), (0, R1p - R1)))
     if Bp != B:
         w1 = jnp.pad(w1, ((0, Bp - B), (0, 0)))
         w2 = jnp.pad(w2, ((0, Bp - B), (0, 0)))
 
     n_b = Bp // TB
+    n_c = Cp // TC
     n_r1 = R1p // TR1
     # W1 goes in transposed ([R1p, B]) with full-R1p blocks — trailing block
     # dims must be (8,128)-aligned or equal to the array dims
     w1t = jnp.transpose(w1)
 
+    # grid order (b, c, r1): r1 innermost so the (b, c) output block stays
+    # resident as the revisited accumulator while r1 tiles stream through
     def kernel(w1t_ref, w2_ref, pot_ref, out_ref):
-        j = pl.program_id(1)
+        j = pl.program_id(2)
 
         @pl.when(j == 0)
         def _():
@@ -148,28 +243,29 @@ def factored_masked_contract(
             acc = acc + w1t_ref[j * TR1 + i, :][:, None] * partial
         out_ref[:] = acc
 
-    grid = (n_b, n_r1)
+    grid = (n_b, n_c, n_r1)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (R1p, TB), lambda b, j: (0, b), memory_space=pltpu.VMEM
+                (R1p, TB), lambda b, c, j: (0, b), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (TB, R2), lambda b, j: (b, 0), memory_space=pltpu.VMEM
+                (TB, R2), lambda b, c, j: (b, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (TR1, C, R2), lambda b, j: (j, 0, 0), memory_space=pltpu.VMEM
+                (TR1, TC, R2), lambda b, c, j: (j, c, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (TB, C), lambda b, j: (b, 0), memory_space=pltpu.VMEM
+            (TB, TC), lambda b, c, j: (b, c), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, Cp), dtype),
         interpret=interpret,
     )(w1t, w2, pot)
-    return out[:B]
+    return out[:B, :C]
 
 
 def build_weight_groups(
@@ -299,6 +395,7 @@ def big_clique_sep_message(
     interpret: bool = False,
     use_pallas: bool = True,
     contract_fn=None,
+    autotune: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Collect/distribute message from a (large) clique to its separator
     under batched evidence masks and batched child messages.
@@ -386,8 +483,31 @@ def big_clique_sep_message(
 
     if contract_fn is not None:
         out = contract_fn(p3, w1, w2)
+    elif use_pallas and interpret:
+        # CPU test mode: exercise the kernel path deterministically
+        out = factored_masked_contract(p3, w1, w2, interpret=True)
     elif use_pallas:
-        out = factored_masked_contract(p3, w1, w2, interpret=interpret)
+        r1, r2, c = (int(d) for d in p3.shape)
+        if plan_tiles(r1, r2, c, int(B)) is None:
+            # no VMEM-feasible tiling (huge separator and/or rest widths):
+            # the XLA einsum path is safe — this is the round-2 Hailfinder
+            # compile-OOM case, now a routed fallback instead of a crash
+            out = reference_factored_contract(p3, w1, w2)
+        else:
+            if autotune is None:
+                from ..config import DEFAULT as _CFG
+
+                autotune = getattr(_CFG, "autotune", True)
+            if autotune:
+                from .autotune import decide
+
+                route = decide(r1, r2, c, int(B))
+            else:
+                route = "pallas"
+            if route == "pallas":
+                out = factored_masked_contract(p3, w1, w2)
+            else:
+                out = reference_factored_contract(p3, w1, w2)
     else:
         out = reference_factored_contract(p3, w1, w2)
     out = out.reshape((B,) + tuple(sep_shape))

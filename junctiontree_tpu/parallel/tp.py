@@ -44,8 +44,11 @@ def sharded_factored_contract(
     bspec = P(BATCH_AXIS) if shard_batch else P()
 
     def local(pot_l, w1_l, w2_l):
+        from ..ops.pallas_contract import plan_tiles
+
         use, interp = _kernel_flags()
-        if use:
+        if use and plan_tiles(*(int(d) for d in pot_l.shape),
+                              int(w1_l.shape[0])) is not None:
             out = factored_masked_contract(pot_l, w1_l, w2_l, interpret=interp)
         else:
             out = reference_factored_contract(pot_l, w1_l, w2_l)

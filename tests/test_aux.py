@@ -283,7 +283,7 @@ def test_timers_populate_during_real_compile():
     tree = jt.create_junction_tree(factors, sizes)
     eng = tree.engine().set_potentials(values)
     eng.posterior_batch({})
-    totals = eng.describe()["phase_totals_s"]
+    totals = eng.describe()["process_phase_totals_s"]
     for key in (
         "compile.intern",
         "compile.triangulate",

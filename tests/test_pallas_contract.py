@@ -138,6 +138,64 @@ def test_big_clique_message_crossing_boundary_raises():
         )
 
 
+def test_plan_tiles_hailfinder_shape_fits_vmem():
+    """The round-2 VMEM-OOM repro: R1=1, R2=3, C=46656 at B=4096 (the
+    Hailfinder-class big separator).  The planner must either tile C into
+    VMEM-sized blocks or report infeasibility — never an untiled [B, C]
+    output block (114 MB at these dims, BENCH_r02.json)."""
+    from junctiontree_tpu.ops.pallas_contract import VMEM_BUDGET, plan_tiles
+
+    t = plan_tiles(1, 3, 46656, 4096)
+    assert t is not None
+    assert t["vmem_bytes"] <= VMEM_BUDGET
+    assert t["TC"] < 46656  # the separator axis is streamed in tiles
+    # the accounting covers the out block that blew up in round 2
+    assert t["TB"] * t["TC"] * 4 <= VMEM_BUDGET
+
+
+def test_plan_tiles_infeasible_returns_none():
+    from junctiontree_tpu.ops.pallas_contract import plan_tiles
+
+    # R2 too wide for any pot block at TR1=1, TC=128
+    assert plan_tiles(1, 40000, 130, 64) is None
+
+
+def test_kernel_c_tiling_matches_reference():
+    """Force the TC-tiled grid with a small VMEM budget and check exactness
+    against the einsum oracle (including non-multiple C padding)."""
+    from junctiontree_tpu.ops.pallas_contract import plan_tiles
+
+    rng = np.random.default_rng(17)
+    R1, R2, C, B = 4, 16, 300, 24
+    budget = 64 * 1024
+    t = plan_tiles(R1, R2, C, B, vmem_budget=budget)
+    assert t is not None and t["TC"] < C and t["Cp"] > C
+    pot = jnp.asarray(rng.random((R1, R2, C)), dtype=jnp.float32)
+    w1 = jnp.asarray(rng.random((B, R1)), dtype=jnp.float32)
+    w2 = jnp.asarray(rng.random((B, R2)), dtype=jnp.float32)
+    got = factored_masked_contract(
+        pot, w1, w2, interpret=True, vmem_budget=budget
+    )
+    want = reference_factored_contract(pot, w1, w2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_infeasible_shape_falls_back_to_xla():
+    """use_pallas=True on a VMEM-infeasible factorization must route to the
+    XLA einsum instead of emitting an uncompilable kernel (round-2 defect)."""
+    rng = np.random.default_rng(19)
+    sizes = (40000, 130)
+    pot = jnp.asarray(rng.random(sizes, np.float64), dtype=jnp.float32)
+    masks = {1: jnp.asarray(rng.random((3, 130)), dtype=jnp.float32)}
+    got = big_clique_sep_message(pot, [0, 1], masks, [1], use_pallas=True)
+    want = jnp.einsum("ab,xb->xb", pot, masks[1], precision="highest")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_xla_fallback_matches():
     rng = np.random.default_rng(7)
     cvars = [0, 1, 2, 3]

@@ -168,3 +168,81 @@ def test_engine_shard_model_rejects_nonlinear_semirings():
     eng = jt.create_junction_tree(factors, sizes).engine("log_sum_exp")
     with pytest.raises(ValueError, match="sum_product"):
         eng.shard_model(make_mesh(n_batch=2, n_model=4))
+
+
+def test_shard_model_propagate_uses_scaled_cap(monkeypatch):
+    """Engine.propagate on a shard_model engine must not re-check the
+    unscaled single-chip cap (VERDICT r2 weak #7a)."""
+    import junctiontree_tpu.executor as ex
+
+    factors, sizes, values = _big_clique_model(nv=10, seed=2)
+    monkeypatch.setattr(ex, "MAX_CLIQUE_STATES", 1 << 9)  # 2^10 clique is "oversized"
+    mesh = make_mesh(n_batch=4, n_model=2)
+    eng = jt.create_junction_tree(factors, sizes).engine()
+    eng.shard_model(mesh, min_states=1 << 10)
+    # reference-parity path goes through evaluate_cliques -> check_feasible;
+    # it must use the scaled cap (2^9 * 2 = 2^10 allows the clique)
+    out = eng.propagate(values)
+    assert len(out) == len(values)
+    # the unsharded engine refuses the same model
+    eng0 = jt.create_junction_tree(factors, sizes).engine()
+    with pytest.raises(ValueError, match="infeasible"):
+        eng0.propagate(values)
+
+
+def test_shard_model_unbatched_contraction_stays_sharded():
+    """posterior_batch with evidence NOWHERE near the big clique: the
+    oversized contraction has no batched operand, and must still route
+    through the sharded TP contraction (ones-weights fallback) instead of
+    gathering the flat potential (ADVICE r2 medium)."""
+    rng = np.random.default_rng(3)
+    nv = 10
+    names = [f"v{i}" for i in range(nv)]
+    factors = [names[:]] + [[n] for n in names] + [["tail0"], ["v0", "tail0"]]
+    sizes = {n: 2 for n in names}
+    sizes["tail0"] = 2
+    values = (
+        [rng.random((2,) * nv).astype(np.float32) + 0.1]
+        + [rng.random(2) + 0.1 for _ in names]
+        + [rng.random(2) + 0.1, rng.random((2, 2)) + 0.1]
+    )
+    B = 4
+    masks = {"tail0": np.tile(np.array([[1.0, 0.0]], np.float32), (B, 1))}
+
+    tree = jt.create_junction_tree(factors, sizes)
+    eng0 = tree.engine().set_potentials(values)
+    post0, logz0 = eng0.posterior_batch(masks)
+
+    mesh = make_mesh(n_batch=2, n_model=4)
+    eng = jt.create_junction_tree(factors, sizes).engine()
+    eng.shard_model(mesh, min_states=1 << 10)
+    eng.set_potentials(values)
+    post, logz = eng.posterior_batch(masks)
+    np.testing.assert_allclose(np.asarray(logz), np.asarray(logz0), rtol=1e-5)
+    for v in range(tree.plan.num_vars):
+        np.testing.assert_allclose(
+            np.asarray(post[v]), np.asarray(post0[v]), rtol=1e-5, atol=1e-7
+        )
+    # no GSPMD-gather diagnostics: every oversized contraction was routed
+    assert eng.describe().get("tp_fallbacks", []) == []
+
+
+def test_shard_model_indivisible_above_cap_raises(monkeypatch):
+    """A mixed-cardinality oversized clique that can't be flat-sharded must
+    raise a descriptive error, not silently land whole on one device
+    (ADVICE r2 low)."""
+    import junctiontree_tpu.executor as ex
+
+    rng = np.random.default_rng(5)
+    names = [f"c{i}" for i in range(7)]
+    factors = [names[:]] + [[n] for n in names]
+    sizes = {n: 3 for n in names}  # 3^7 = 2187 states, never divisible by 4
+    values = [rng.random((3,) * 7).astype(np.float32) + 0.1] + [
+        rng.random(3) + 0.1 for _ in names
+    ]
+    monkeypatch.setattr(ex, "MAX_CLIQUE_STATES", 1 << 10)
+    mesh = make_mesh(n_batch=2, n_model=4)
+    eng = jt.create_junction_tree(factors, sizes).engine()
+    eng.shard_model(mesh, min_states=1 << 10)
+    with pytest.raises(ValueError, match="not divisible"):
+        eng.set_potentials(values)

@@ -173,3 +173,61 @@ def test_parallel_chain_sharded_over_mesh():
     np.testing.assert_allclose(
         np.asarray(post_sh), np.asarray(post_ref), rtol=1e-5, atol=1e-7
     )
+
+
+def test_engine_shard_sequence_picks_parallel_program():
+    """Engine-level SP: shard_sequence on a chain engine routes
+    posterior_batch through the associative-scan program with the step axis
+    sharded, and matches the sequential engine (VERDICT r2 #5)."""
+    import jax
+
+    from junctiontree_tpu.parallel.mesh import make_mesh
+    from junctiontree_tpu.scan_executor import StackedPosteriors
+
+    n = 65  # 64 transition steps, divisible by the 8-device mesh
+    factors, sizes, values = chain_bn_model(n, seed=9)
+    tree = jt.create_junction_tree(factors, sizes)
+    B = 4
+    rng = np.random.default_rng(1)
+    masks = {}
+    for name in ("x3", "x40"):
+        m = np.zeros((B, 2), dtype=np.float32)
+        m[np.arange(B), rng.integers(0, 2, B)] = 1.0
+        masks[name] = m
+
+    ref_eng = tree.engine().set_potentials(values)
+    post_ref, logz_ref = ref_eng.posterior_batch(masks)
+
+    mesh = make_mesh(n_batch=8, n_model=1)
+    sp_eng = tree.engine().set_potentials(values)
+    sp_eng.shard_sequence(mesh, axis="batch", min_len=16)
+    post_sp, logz_sp = sp_eng.posterior_batch(masks)
+    assert isinstance(post_sp, StackedPosteriors)
+    # the prestacked transitions really are sharded over the step axis
+    shard_shapes = {s.data.shape for s in sp_eng._chain_A.addressable_shards}
+    assert len(sp_eng._chain_A.addressable_shards) == 8
+    assert all(sh[0] == 64 // 8 for sh in shard_shapes)
+
+    np.testing.assert_allclose(
+        np.asarray(logz_sp), np.asarray(logz_ref), rtol=1e-5
+    )
+    for v in range(tree.plan.num_vars):
+        np.testing.assert_allclose(
+            np.asarray(post_sp[v]), np.asarray(post_ref[v]),
+            rtol=1e-4, atol=1e-7,
+        )
+
+
+def test_engine_shard_sequence_short_chain_stays_sequential():
+    """Below min_len the sequential scan program is kept (K^2 vs K^3 work)."""
+    from junctiontree_tpu.parallel.mesh import make_mesh
+
+    factors, sizes, values = chain_bn_model(20, seed=3)
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    eng.shard_sequence(make_mesh(n_batch=8, n_model=1), min_len=1000)
+    masks = {"x5": np.array([[1.0, 0.0]], dtype=np.float32)}
+    post, logz = eng.posterior_batch(masks)
+    ref = tree.engine().set_potentials(values)
+    post_r, logz_r = ref.posterior_batch(masks)
+    np.testing.assert_allclose(np.asarray(logz), np.asarray(logz_r), rtol=1e-6)
