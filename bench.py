@@ -221,22 +221,28 @@ def bench_big_clique(batch=4096):
     dt_r, ct_r = steady(make(True, True), pot, masks, iters=10)   # routed
     dt_p, ct_p = steady(make(True, False), pot, masks, iters=10)  # pallas
     dt_x, ct_x = steady(make(False, False), pot, masks, iters=10)  # xla
-    # FLOP / HBM accounting: 7 contractions, each reduces the full 2^18
-    # rest space to its output (2*B*S flops); the potential streams once per
-    # contraction
+    # Work accounting: a naive engine contracts the full 2^18-state space
+    # against the batch per output (2*B*S flops x 7 contractions).  The
+    # factored path does far less work (masks factor into ~sqrt-sized
+    # weights; unmasked axes pre-reduce), so "naive-equivalent TF/s" can
+    # exceed the hardware peak — it measures algorithmic + kernel speedup
+    # over the naive contraction at hardware speed-of-light.  Per-shape
+    # achieved TFLOP/s of the actual kernels are in routing_table
+    # (ops/autotune.py measurements).
     S = 1 << nv
-    flops = 7 * 2 * batch * S
+    flops_naive = 7 * 2 * batch * S
     hbm = 7 * 4 * (S + batch * (2 * int(np.sqrt(S)) + 2))
-    t_light = max(flops / PEAK_F32_FLOPS, hbm / PEAK_HBM_BYTES)
+    t_light_naive = max(flops_naive / PEAK_F32_FLOPS, hbm / PEAK_HBM_BYTES)
     dt_best = min(dt_r, dt_p, dt_x)
     log(f"# 2^18-state clique, Z+6 marginals  B={batch}: routed {dt_r*1e3:.3f} ms "
         f"({batch/dt_r:,.0f} q/s)  pallas {dt_p*1e3:.3f} ms  xla {dt_x*1e3:.3f} ms  "
-        f"achieved {flops/dt_best/1e12:.1f} TF/s  roofline {t_light/dt_best:.0%}")
+        f"naive-equiv {flops_naive/dt_best/1e12:.0f} TF/s "
+        f"({t_light_naive/dt_best:.1f}x naive speed-of-light)")
     record("2^18-state clique Z+6 marginals (routed)", round(batch / dt_r, 1),
            "queries/s", batch=batch, routed_ms=round(dt_r * 1e3, 3),
            pallas_ms=round(dt_p * 1e3, 3), xla_ms=round(dt_x * 1e3, 3),
-           achieved_tflops=round(flops / dt_best / 1e12, 2),
-           roofline_fraction=round(t_light / dt_best, 3),
+           naive_equiv_tflops=round(flops_naive / dt_best / 1e12, 2),
+           vs_naive_speed_of_light=round(t_light_naive / dt_best, 3),
            routing_table=autotune_report())
     # routed must never lose to the XLA fallback (measurement-based routing)
     if dt_r > dt_x * 1.25:
@@ -308,6 +314,46 @@ def bench_incremental(batch=2048):
     record("8x8 grid single-var evidence delta", round(batch / dt_i, 1),
            "queries/s", batch=batch, incremental_ms=round(dt_i * 1e3, 3),
            full_ms=round(dt_f * 1e3, 3), speedup=round(dt_f / dt_i, 2))
+
+
+def bench_division(batch=4096):
+    """Distribute-pass Hugin division vs leave-one-out (VERDICT r2 #7):
+    same program, division path toggled; 8x8 grid (every clique under the
+    belief cap, so the whole distribute pass is affected)."""
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.config import DEFAULT
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(8, 8, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    evs = random_evidence_batch(tree.plan, batch, list(sizes)[:16], seed=9)
+    masks = {
+        k: jnp.asarray(v)
+        for k, v in batch_masks_sparse(tree.plan, evs).items()
+    }
+    times = {}
+    old = DEFAULT.distribute_division
+    try:
+        for flag in (True, False):
+            DEFAULT.distribute_division = flag
+            eng = tree.engine().set_potentials(values)
+            dt, ct = steady(
+                lambda: eng.posterior_batch(masks, mode="general"), iters=10
+            )
+            times[flag] = dt
+    finally:
+        DEFAULT.distribute_division = old
+    log(f"# 8x8 grid distribute division  B={batch}: "
+        f"division {times[True]*1e3:.3f} ms  leave-one-out "
+        f"{times[False]*1e3:.3f} ms  ({times[False]/times[True]:.2f}x)")
+    record("8x8 grid distribute-division", round(batch / times[True], 1),
+           "queries/s", batch=batch,
+           division_ms=round(times[True] * 1e3, 3),
+           leave_one_out_ms=round(times[False] * 1e3, 3),
+           speedup=round(times[False] / times[True], 3))
 
 
 def bench_loopy(batch=256):
@@ -464,10 +510,64 @@ def scaling_inner():
         qps_per_config[f"{n}dev"] = (n, batch / dt)
         log(f"# scaling {n} devices: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s")
     rep = scaling_report(qps_per_config)
+
+    # TP structure line: oversized clique sharded over an 8-way model axis,
+    # parity vs the unsharded engine (throughput on virtual CPU devices is
+    # not meaningful; correctness + program structure are)
+    rng = np.random.default_rng(0)
+    nv = 12
+    names = [f"v{i}" for i in range(nv)]
+    bfac = [names[:]] + [[n] for n in names]
+    bsiz = {n: 2 for n in names}
+    bval = [rng.random((2,) * nv).astype(np.float32) + 0.1] + [
+        rng.random(2) + 0.1 for _ in names
+    ]
+    btree = jt.create_junction_tree(bfac, bsiz)
+    eng0 = btree.engine().set_potentials(bval)
+    B = 16
+    bmask = {}
+    for n in names[:7]:
+        m = np.zeros((B, 2), dtype=np.float32)
+        m[np.arange(B), np.random.default_rng(1).integers(0, 2, B)] = 1.0
+        bmask[n] = m
+    p0, z0 = eng0.posterior_batch(bmask)
+    tp_eng = jt.create_junction_tree(bfac, bsiz).engine()
+    tp_eng.shard_model(make_mesh(n_batch=1, n_model=8), min_states=1 << 10)
+    tp_eng.set_potentials(bval)
+    dt_tp, ct_tp = steady(tp_eng.posterior_batch, bmask, iters=3)
+    tp_ok = bool(
+        np.allclose(np.asarray(z0), np.asarray(tp_eng.posterior_batch(bmask)[1]),
+                    rtol=1e-4)
+    )
+    log(f"# TP 2^12-clique 8-way model axis: parity={tp_ok} "
+        f"step {dt_tp*1e3:.1f} ms (virtual devices, structure only)")
+
+    # SP structure line: long chain, step axis sharded, associative-scan
+    # program vs the sequential scan program
+    from junctiontree_tpu.models import chain_bn_model
+
+    cfac, csiz, cval = chain_bn_model(2049, seed=1)
+    ctree = jt.create_junction_tree(cfac, csiz)
+    cmask = {"x100": np.tile(np.array([[1.0, 0.0]], np.float32), (8, 1))}
+    seq_eng = ctree.engine().set_potentials(cval)
+    dt_seq, _ = steady(seq_eng.posterior_batch, cmask, iters=3)
+    _, z_seq = seq_eng.posterior_batch(cmask)
+    sp_eng = ctree.engine().set_potentials(cval)
+    sp_eng.shard_sequence(make_mesh(n_batch=8, n_model=1), min_len=64)
+    dt_sp, _ = steady(sp_eng.posterior_batch, cmask, iters=3)
+    _, z_sp = sp_eng.posterior_batch(cmask)
+    sp_ok = bool(np.allclose(np.asarray(z_seq), np.asarray(z_sp), rtol=1e-4))
+    log(f"# SP 2048-step chain 8-way step axis: parity={sp_ok} "
+        f"seq {dt_seq*1e3:.1f} ms  parallel {dt_sp*1e3:.1f} ms "
+        f"(virtual devices, structure only)")
+
     out = dict(
         harness="DP batched-evidence 6x6 grid, virtual CPU devices"
         if jax.devices()[0].platform == "cpu" else "DP, real devices",
         batch=batch, report=rep,
+        tp_parity=tp_ok, tp_step_ms=round(dt_tp * 1e3, 2),
+        sp_parity=sp_ok, sp_seq_ms=round(dt_seq * 1e3, 2),
+        sp_parallel_ms=round(dt_sp * 1e3, 2),
     )
     print(json.dumps(out))
     return out
@@ -511,6 +611,7 @@ CASES = {
     "uai": bench_uai_serving,
     "tree_map": bench_tree_map,
     "incremental": bench_incremental,
+    "division": bench_division,
     "loopy": bench_loopy,
     "scaling": bench_scaling,
 }

@@ -19,9 +19,17 @@ class Config:
     matmul_precision: str = "highest"      # highest (f32 MXU) | default (bf16 passes)
 
     # compile
-    heuristic: str = "min_fill"            # min_fill | min_degree | min_weight | portfolio[N]
+    heuristic: str = "auto"                # auto (min_fill + escalation) |
+    #                                        min_fill | min_degree |
+    #                                        min_weight | portfolio[N] | anneal[S]
     backend: str = "auto"                  # auto | python | native (C++ compiler)
     root: Optional[int] = None             # clique to root the tree at
+
+    # 'auto' heuristic: when greedy min-fill lands a clique above this many
+    # states, escalate to a 16-restart randomized portfolio and keep the
+    # better triangulation (one-time compile cost, often orders of
+    # magnitude smaller cliques on hailfinder-class models)
+    escalate_min_states: int = 1 << 20
 
     # big-clique path: clique state-space size above which contractions are
     # routed through the factored-weight contraction (Pallas streaming

@@ -118,7 +118,14 @@ def decide(R1: int, R2: int, C: int, B: int) -> str:
 
 def measure(R1: int, R2: int, C: int, B: int) -> dict:
     """Time both candidate programs on ones-filled operands; return the
-    record {winner, pallas_ms, xla_ms, flops, achieved_tflops, roofline}."""
+    record {winner, pallas_ms, xla_ms, flops, achieved_tflops, roofline}.
+
+    achieved_tflops / roofline_fraction are estimates against the nominal
+    contraction cost and peak specs: XLA may rewrite the einsum to do less
+    work (e.g. R1==1 degenerates to one matmul), so fractions above 1 mean
+    "faster than the nominal contraction at speed-of-light", not a violated
+    hardware bound.  The winner field is what routing consumes; it is a
+    direct like-for-like measurement either way."""
     import jax
     import jax.numpy as jnp
 
@@ -132,7 +139,17 @@ def measure(R1: int, R2: int, C: int, B: int) -> dict:
     pot = jnp.ones((R1, R2, C), jnp.float32)
     w1 = jnp.ones((B, R1), jnp.float32)
     w2 = jnp.ones((B, R2), jnp.float32)
-    t_p = _time_once(jax.jit(factored_masked_contract), (pot, w1, w2))
+    try:
+        t_p = _time_once(jax.jit(factored_masked_contract), (pot, w1, w2))
+    except Exception as e:
+        # a kernel the planner thought feasible but Mosaic/XLA rejected:
+        # permanently route this shape to XLA (robustness over bravado)
+        return dict(
+            winner="xla", pallas_ms=None, xla_ms=None,
+            flops=int(contraction_flops(R1, R2, C, B)),
+            hbm_bytes=int(contraction_hbm_bytes(R1, R2, C, B)),
+            error=f"pallas compile failed: {type(e).__name__}",
+        )
     t_x = _time_once(jax.jit(reference_factored_contract), (pot, w1, w2))
     flops = contraction_flops(R1, R2, C, B)
     hbm = contraction_hbm_bytes(R1, R2, C, B)

@@ -78,9 +78,12 @@ def reference_factored_contract(
 # kernel and as the routing feasibility gate (None => use the XLA path).
 # ---------------------------------------------------------------------------
 
-# per-core scoped VMEM the kernel may use (v5e/v4 expose 16 MiB to Mosaic
-# kernels by default; leave headroom for Mosaic's own scratch)
-VMEM_BUDGET = 12 * 1024 * 1024
+# per-core scoped VMEM the kernel may use.  v5e/v4 expose 16 MiB to Mosaic
+# kernels; Mosaic's real stack allocation runs ~1.5x this planner's block
+# accounting (measured on v5e: 16.59M actual vs 10.6M estimated — extra
+# copies for the revisited accumulator and dot operands), so budget well
+# under the hard limit
+VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def plan_tiles(
@@ -116,17 +119,29 @@ def plan_tiles(
     # (MXU utilization), then the largest C tile (fewer grid steps).
     c_full = _round_up(C, 8)
     tc_candidates = [c_full] + [t for t in (512, 256, 128) if t < c_full]
+    # Mosaic lowering requires each block's LAST dim to be a multiple of
+    # 128 or equal to the array dim (and the second-to-last a multiple of
+    # 8 or full).  TB is the last dim of the w1t block, so legal batch
+    # tiles are multiples of 128 — or one full-batch block.
+    bp_full = _round_up(B, 8)
+    tb_candidates = []
+    t = (min(block_b, bp_full) // 128) * 128
+    while t >= 128:
+        tb_candidates.append(t)
+        t //= 2
+    if bp_full not in tb_candidates:
+        # full-batch block as a last resort (always lowering-legal; large
+        # blocks pipeline worse, so capped 128-multiples are tried first)
+        tb_candidates.append(bp_full)
     best = None
     for TC in tc_candidates:
-        tb = min(block_b, _round_up(B, 8))
-        while tb >= 8:
+        for tb in tb_candidates:
             # pot-block budget after the fixed-per-TB blocks (w1t full-R1
             # height is the worst case: TR1=R1 -> R1p=R1)
             other = 4 * (2 * R1 * tb + 2 * tb * R2 + tb * TC)
             rem = vmem_budget - other
             tr1_fit = rem // (4 * 2 * TC * R2) if rem > 0 else 0
             if tr1_fit < 1:
-                tb //= 2
                 continue
             TR1 = max(1, min(block_r1, int(tr1_fit), R1))
             R1p = _round_up(R1, TR1)
@@ -140,7 +155,6 @@ def plan_tiles(
                         vmem_bytes=int(total),
                     )
                 break
-            tb //= 2
     return best
 
 

@@ -173,7 +173,7 @@ def compile_plan(
     sizes: Dict[Hashable, int],
     root: Optional[int] = None,
     backend: str = "auto",
-    heuristic: str = "min_fill",
+    heuristic: str = "auto",
 ) -> Plan:
     """Full compile path: intern -> triangulate -> junction tree -> plan.
 
@@ -184,12 +184,16 @@ def compile_plan(
     when it is available and the model is large enough to matter, falling
     back to pure Python; "native" / "python" force a path.
 
-    heuristic: elimination-order heuristic — 'min_fill' (reference parity,
-    default), 'min_degree', 'min_weight', 'portfolio[N]' (run all three plus
-    N randomized restarts, keep the smallest total clique state space), or
-    'anneal[S]' (portfolio seed + simulated annealing over elimination
-    orders for S seconds, default 2 — best quality, one-time compile cost;
-    both ignore the native backend).
+    heuristic: elimination-order heuristic — 'auto' (default: min_fill,
+    auto-escalating to a randomized portfolio when greedy min-fill lands a
+    clique above ``config.DEFAULT.escalate_min_states`` — greedy min-fill is
+    2-6x over the optimal treewidth exactly on the models where it hurts
+    most), 'min_fill' (reference parity, no escalation), 'min_degree',
+    'min_weight', 'portfolio[N]' (run all three plus N randomized restarts,
+    keep the smallest total clique state space), or 'anneal[S]' (portfolio
+    seed + simulated annealing over elimination orders for S seconds,
+    default 2 — best quality, one-time compile cost; both ignore the native
+    backend).
 
     Every phase is timed into ``utils.timing.TIMERS`` (keys
     ``compile.intern`` / ``compile.triangulate`` / ``compile.treebuild``)
@@ -203,6 +207,9 @@ def compile_plan(
     if root is None:
         root = 0
 
+    escalate = heuristic == "auto"
+    if escalate:
+        heuristic = "min_fill"
     tri = None
     nat = None
     with TIMERS.phase("compile.triangulate"):
@@ -248,6 +255,42 @@ def compile_plan(
             tri = min_fill_triangulation(
                 int_factors, int_sizes, heuristic=heuristic
             )
+        if escalate:
+            # auto-escalation: when greedy min-fill lands a clique above the
+            # threshold, a randomized portfolio usually shrinks it by orders
+            # of magnitude (hailfinder-class: 31M -> ~1M states) for a
+            # bounded one-time compile cost
+            from .config import DEFAULT as _CFG
+            from .triangulate import portfolio_triangulation, total_states
+
+            def worst(t):
+                return max(
+                    _prod(int_sizes[v] for v in c) for c in t.maxcliques
+                )
+
+            def better(t2, t1):
+                return (worst(t2), total_states(t2, int_sizes)) < (
+                    worst(t1), total_states(t1, int_sizes)
+                )
+
+            if worst(tri) > _CFG.escalate_min_states:
+                tri2 = portfolio_triangulation(
+                    int_factors, int_sizes, random_restarts=16
+                )
+                if better(tri2, tri):
+                    tri = tri2
+                    nat = None
+            if worst(tri) > _CFG.escalate_min_states:
+                # still above threshold: annealing recovers most of the
+                # remaining gap for a bounded few-second compile cost
+                from .triangulate import anneal_triangulation
+
+                tri3 = anneal_triangulation(
+                    int_factors, int_sizes, time_budget_s=2.0
+                )
+                if better(tri3, tri):
+                    tri = tri3
+                    nat = None
     with TIMERS.phase("compile.treebuild"):
         if nat is not None:
             from .treebuild import build_junction_tree_from_edges
