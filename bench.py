@@ -404,8 +404,12 @@ def bench_classic_bns(batch=4096):
             tree = jt.create_junction_tree(factors, sizes)
             build = time.perf_counter() - t0
             eng = tree.engine().set_potentials(values)
+            # batched messages cost B x sep_states floats: size the batch
+            # to the model (hailfinder-class separators have 3.1M states —
+            # B=4096 would be 51 GB of messages)
+            b = min(batch, eng.max_feasible_batch())
             observed = list(sizes)[:: 3]
-            evs = random_evidence_batch(tree.plan, batch, observed, seed=7)
+            evs = random_evidence_batch(tree.plan, b, observed, seed=7)
             masks = {
                 k: jnp.asarray(v)
                 for k, v in batch_masks_sparse(tree.plan, evs).items()
@@ -413,15 +417,17 @@ def bench_classic_bns(batch=4096):
             dt, ct = steady(eng.posterior_batch, masks, iters=10)
             st = tree.stats()
             log(
-                f"# {name}  B={batch}: {dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  "
+                f"# {name}  B={b}: {dt*1e3:.2f} ms/step  {b/dt:,.0f} q/s  "
                 f"(vars {st['num_vars']}, treewidth {st['treewidth']}, "
-                f"max_states {st['max_clique_states']}, plan {build*1e3:.0f} ms, "
+                f"max_states {st['max_clique_states']}, "
+                f"max_sep {st['max_sep_states']}, plan {build*1e3:.0f} ms, "
                 f"compile {ct:.1f}s)"
             )
-            record(f"{name} batched-evidence", round(batch / dt, 1), "queries/s",
-                   batch=batch, step_ms=round(dt * 1e3, 3),
+            record(f"{name} batched-evidence", round(b / dt, 1), "queries/s",
+                   batch=b, step_ms=round(dt * 1e3, 3),
                    compile_s=round(ct, 2), treewidth=st["treewidth"],
-                   max_clique_states=st["max_clique_states"])
+                   max_clique_states=st["max_clique_states"],
+                   max_sep_states=st["max_sep_states"])
         except Exception as e:  # record the failure; keep the other BNs going
             log(f"# {name} FAILED: {type(e).__name__}: {e}")
             record(f"{name} batched-evidence", None, "queries/s",
@@ -674,6 +680,17 @@ def main():
         return
     import jax
 
+    # persistent XLA compile cache (config.enable_compilation_cache): the
+    # production serving answer to cold-compile cost — first run on a
+    # machine pays XLA compilation, reruns deserialize executables.
+    # Compile times reported per case are therefore cold on a fresh
+    # machine and ~0 when warm; both are the real serving numbers.
+    from junctiontree_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "junctiontree_tpu", "xla")
+    )
     log(f"# device: {jax.devices()[0].device_kind}")
     qps = None
     if only:

@@ -1545,6 +1545,24 @@ class Engine:
                 total += float(np.log(val))
         return total
 
+    def max_feasible_batch(
+        self, budget_bytes: int = 8 << 30, live_messages: int = 8
+    ) -> int:
+        """Largest power-of-two evidence batch that keeps batched message
+        traffic inside ``budget_bytes`` of HBM.
+
+        Every batched message materializes [B, sep_states] floats; on
+        models with huge separators (hailfinder-class: 3.1M-state
+        separators) the batch size — not the clique size — is what
+        overflows HBM (B=4096 x 3.1M floats = 51 GB).  ``live_messages``
+        bounds how many such tensors XLA keeps live simultaneously
+        (collect + distribute of the widest region; 8 is conservative).
+        Returns at least 1."""
+        st = self.plan.stats()
+        per_query = 4 * max(st["max_sep_states"], 1) * live_messages
+        b = max(1, int(budget_bytes // per_query))
+        return 1 << (b.bit_length() - 1)
+
     def incremental(self, mask_batch) -> "IncrementalSession":
         """Open an incremental-evidence serving session: one collect pass is
         cached, and subsequent single/few-variable evidence deltas reuse

@@ -242,16 +242,46 @@ def grouped_batched_contract(
         ops, ovs, batched, out_set, cvars, member, sizes,
         split_contracted=do_unroll,
     )
+    # TPU tiling pads the trailing two dims of every materialized tensor to
+    # (8,128)-class tiles; a high-rank view whose trailing dims are tiny
+    # explodes (measured: rank-13 view, 47 MB unpadded -> 3.96 GB padded,
+    # 85x).  When the split-contracted view rank is high, fall back to the
+    # grouped einsum (signature-fused contracted axes -> lower rank, and
+    # XLA's dot lowering collapses to 3-D forms with benign padding).
+    if do_unroll and 1 + len(groups) > 8:
+        do_unroll = False
+        views, groups, gsizes, out_flags = _grouped_views(
+            ops, ovs, batched, out_set, cvars, member, sizes,
+            split_contracted=False,
+        )
     b = any(batched)
 
     if not do_unroll:
-        # broadcast-reduce at grouped rank: one fused multiply+reduce pass
-        acc = views[0]
-        for v in views[1:]:
-            acc = semiring._combine(acc, v)
-        red = tuple(1 + gi for gi, f in enumerate(out_flags) if not f)
-        if red:
-            acc = semiring._reduce(acc, red)
+        # Contract at grouped (low) rank via the semiring einsum: opt_einsum
+        # picks a pairwise order, so a batched operand over a big clique
+        # never materializes [B, union-scope] — the one-pass broadcast
+        # combine+reduce this replaced allocated B x prod(groups) floats
+        # (51 GB on a hailfinder-class 3.1M-state grouped scope at B=4096).
+        # Rank after grouping is small, so compile stays cheap.
+        ops2: List[jnp.ndarray] = []
+        ovs2: List[List] = []
+        for i, (x, vs) in enumerate(zip(ops, ovs)):
+            mine = set(vs)
+            gids = [gi for gi, g in enumerate(groups) if g[0] in mine]
+            shape = ([x.shape[0]] if batched[i] else []) + [
+                gsizes[gi] for gi in gids
+            ]
+            ops2.append(x.reshape(shape))
+            ovs2.append(
+                ([batch_label] if batched[i] else []) + [("g", gi) for gi in gids]
+            )
+        out_gids = [gi for gi, f in enumerate(out_flags) if f]
+        acc = semiring.contract(
+            ops2, ovs2,
+            ([batch_label] if b else []) + [("g", gi) for gi in out_gids],
+        )
+        if not b:
+            acc = acc[None]  # unify with the tail's [lead, groups...] layout
     else:
         cpos = {}  # contracted var -> grouped axis (after batch axis)
         for gi, (g, f) in enumerate(zip(groups, out_flags)):

@@ -61,6 +61,10 @@ class Plan:
         for c in self.tree.topo_order[1:]:
             d[c] = d[self.tree.parent[c]] + 1
             depth = max(depth, d[c])
+        sep_states = [
+            int(_prod(self.sizes[v] for v in s))
+            for s in self.tree.separators
+        ]
         return {
             "num_vars": self.num_vars,
             "num_factors": len(self.factors),
@@ -69,6 +73,9 @@ class Plan:
             "treewidth": self.tri.treewidth,
             "max_clique_states": max(clique_states) if clique_states else 0,
             "total_clique_states": sum(clique_states),
+            # batched messages live on separators: serving memory scales
+            # with B x max_sep_states (see Engine.max_feasible_batch)
+            "max_sep_states": max(sep_states) if sep_states else 0,
             "tree_depth": depth,
         }
 

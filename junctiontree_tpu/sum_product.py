@@ -18,13 +18,25 @@ from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SUM_PRODUCT, Semiring
 
 
 class SumProduct:
-    """Distributive-law wrapper with the reference's interleaved einsum API."""
+    """Distributive-law wrapper with the reference's interleaved einsum API.
 
-    def __init__(self, semiring: Semiring = SUM_PRODUCT):
+    Like the reference (sum_product.py:6-12), the contraction backend is
+    pluggable two ways: pass a ``Semiring`` (or its name) for the
+    TPU-compiled paths, or pass any einsum-compatible callable (e.g.
+    ``np.einsum``, a custom opt_einsum wrapper) plus default kwargs — the
+    callable receives the standard subscripts string and arrays."""
+
+    def __init__(self, semiring: Semiring = SUM_PRODUCT, **einsum_kwargs):
+        self._einsum_fn = None
+        self._einsum_kwargs = einsum_kwargs
         if isinstance(semiring, str):
             from .ops.semirings import SEMIRINGS
 
             semiring = SEMIRINGS[semiring]
+        elif callable(semiring) and not isinstance(semiring, Semiring):
+            # injected einsum backend, reference-style
+            self._einsum_fn = semiring
+            semiring = SUM_PRODUCT
         self.semiring = semiring
 
     def einsum(self, *args: Any) -> np.ndarray:
@@ -42,11 +54,22 @@ class SumProduct:
         for vs in operand_vars + [out_vars]:
             for v in vs:
                 table.setdefault(v, len(table))
+        int_ovs = [[table[v] for v in vs] for vs in operand_vars]
+        int_out = [table[v] for v in out_vars]
+        if self._einsum_fn is not None:
+            from .ops.semirings import make_subscripts
+
+            return np.asarray(
+                self._einsum_fn(
+                    make_subscripts(int_ovs, int_out), *operands,
+                    **self._einsum_kwargs,
+                )
+            )
         import jax.numpy as jnp
 
         result = self.semiring.contract(
             [jnp.asarray(o) for o in operands],
-            [[table[v] for v in vs] for vs in operand_vars],
-            [table[v] for v in out_vars],
+            int_ovs,
+            int_out,
         )
         return np.asarray(result)

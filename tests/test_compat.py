@@ -115,3 +115,24 @@ def test_clique_graph_marginalize_roundtrip():
     expect = brute_force_marginals(factors, sizes, values, factors)
     for o, e in zip(out, expect):
         np.testing.assert_allclose(o, e, rtol=1e-6)
+
+
+def test_sum_product_pluggable_einsum_backend():
+    """Reference parity: SumProduct accepts any einsum callable + default
+    kwargs (/root/reference/junctiontree/sum_product.py:6-12)."""
+    import numpy as np
+
+    from junctiontree_tpu.sum_product import SumProduct
+
+    calls = []
+
+    def my_einsum(subscripts, *arrays, **kw):
+        calls.append((subscripts, kw))
+        return np.einsum(subscripts, *arrays)
+
+    sp = SumProduct(my_einsum, optimize=True)
+    a = np.random.default_rng(0).random((2, 3))
+    b = np.random.default_rng(1).random((3, 4))
+    got = sp.einsum(a, ["x", "y"], b, ["y", "z"], ["x", "z"])
+    np.testing.assert_allclose(got, a @ b, rtol=1e-12)
+    assert calls and calls[0][1] == {"optimize": True}
