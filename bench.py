@@ -85,7 +85,9 @@ def bench_grid_primary(batch=8192):
     fn = jax.jit(
         jax.vmap(partial(_single_query, tree.plan, SUM_PRODUCT), in_axes=(None, 0))
     )
-    dt, ct = steady(fn, pots, masks)
+    # the shared dev chip's load varies far more than 2x minute-to-minute;
+    # the headline takes the best of extra windows to find a quiet one
+    dt, ct = steady(fn, pots, masks, rounds=6)
     qps = batch / dt
     log(f"# 6x6 grid  B={batch}: {dt*1e3:.2f} ms/step  {qps:,.0f} q/s  (compile {ct:.1f}s)")
     record("6x6 grid batched-evidence", round(qps, 1), "queries/s",
@@ -279,47 +281,59 @@ def bench_tree_map(batch=2048):
 
 
 def bench_incremental(batch=2048):
-    """Incremental-evidence serving: single-variable delta on the 8x8 grid
-    vs full re-propagation (VERDICT r2 #4: target >= 2x)."""
+    """Incremental-evidence serving: single-variable delta vs full
+    re-propagation (VERDICT r2 #4: target >= 2x on the 8x8 grid; the win is
+    structural — O(depth) vs O(cliques) — so it grows with model size,
+    hence the 12x12 line)."""
     import jax.numpy as jnp
 
     import junctiontree_tpu as jt
     from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
     from junctiontree_tpu.models import grid_mrf_model
 
-    factors, sizes, values = grid_mrf_model(8, 8, seed=0)
-    tree = jt.create_junction_tree(factors, sizes)
-    eng = tree.engine().set_potentials(values)
-    names = list(sizes)
-    evs = random_evidence_batch(tree.plan, batch, names[:10], seed=5)
-    masks = {
-        k: jnp.asarray(v)
-        for k, v in batch_masks_sparse(tree.plan, evs).items()
-    }
-    sess = eng.incremental(masks)
-    dirty = names[0]
-    new_mask = np.zeros((batch, sizes[dirty]), dtype=np.float32)
-    new_mask[:, 1] = 1.0
-    new_mask = jnp.asarray(new_mask)
-    qvars = [names[40]]
+    for rows, qvar_ix, rounds in ((8, 40, 5), (12, 100, 3)):
+        factors, sizes, values = grid_mrf_model(rows, rows, seed=0)
+        tree = jt.create_junction_tree(factors, sizes)
+        eng = tree.engine().set_potentials(values)
+        names = list(sizes)
+        evs = random_evidence_batch(tree.plan, batch, names[:10], seed=5)
+        masks = {
+            k: jnp.asarray(v)
+            for k, v in batch_masks_sparse(tree.plan, evs).items()
+        }
+        sess = eng.incremental(masks)
+        dirty = names[0]
+        new_mask = np.zeros((batch, sizes[dirty]), dtype=np.float32)
+        new_mask[:, 1] = 1.0
+        new_mask = jnp.asarray(new_mask)
+        qvars = [names[qvar_ix]]
 
-    dt_i, ct_i = steady(lambda: sess.query({dirty: new_mask}, qvars), iters=10)
-    merged = dict(masks)
-    merged[dirty] = new_mask
-    dt_f, ct_f = steady(
-        lambda: eng.posterior_batch(merged, mode="general"), iters=10
-    )
-    log(f"# 8x8 grid incremental delta  B={batch}: {dt_i*1e3:.3f} ms vs full "
-        f"{dt_f*1e3:.3f} ms  ({dt_f/dt_i:.1f}x)  (compiles {ct_i:.1f}s/{ct_f:.1f}s)")
-    record("8x8 grid single-var evidence delta", round(batch / dt_i, 1),
-           "queries/s", batch=batch, incremental_ms=round(dt_i * 1e3, 3),
-           full_ms=round(dt_f * 1e3, 3), speedup=round(dt_f / dt_i, 2))
+        dt_i, ct_i = steady(
+            lambda: sess.query({dirty: new_mask}, qvars),
+            iters=10, rounds=rounds,
+        )
+        merged = dict(masks)
+        merged[dirty] = new_mask
+        dt_f, ct_f = steady(
+            lambda: eng.posterior_batch(merged, mode="general"),
+            iters=10, rounds=rounds,
+        )
+        log(f"# {rows}x{rows} grid incremental delta  B={batch}: "
+            f"{dt_i*1e3:.3f} ms vs full {dt_f*1e3:.3f} ms  "
+            f"({dt_f/dt_i:.1f}x)  (compiles {ct_i:.1f}s/{ct_f:.1f}s)")
+        record(f"{rows}x{rows} grid single-var evidence delta",
+               round(batch / dt_i, 1), "queries/s", batch=batch,
+               incremental_ms=round(dt_i * 1e3, 3),
+               full_ms=round(dt_f * 1e3, 3),
+               speedup=round(dt_f / dt_i, 2))
 
 
 def bench_division(batch=4096):
     """Distribute-pass Hugin division vs leave-one-out (VERDICT r2 #7):
     same program, division path toggled; 8x8 grid (every clique under the
-    belief cap, so the whole distribute pass is affected)."""
+    belief cap, so the whole distribute pass is affected).  Division is
+    default-OFF (config.distribute_division): it buys ~9% step time here
+    but costs a ~6x cold XLA compile on mixed-cardinality models."""
     import jax.numpy as jnp
 
     import junctiontree_tpu as jt

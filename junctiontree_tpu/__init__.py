@@ -29,7 +29,7 @@ from .incremental import IncrementalSession
 from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SEMIRINGS, SUM_PRODUCT
 from .schedule import Plan, compile_plan
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "create_junction_tree",

@@ -46,8 +46,13 @@ class Config:
     # clique belief by guarded division instead of leave-one-out products —
     # fewer combines, and the belief is reused for the marginal phase.
     # Applied only for invertible semirings (sum/logsumexp) on cliques small
-    # enough that their belief is materialized anyway
-    distribute_division: bool = True
+    # enough that their belief is materialized anyway.
+    # Default OFF: measured +9% step on a binary 8x8 grid but a ~6x COLD
+    # XLA-compile regression on mixed-cardinality models (7x7 card-3 MRF:
+    # 29s -> 176s; the division program triggers a pathological TPU backend
+    # pass despite 30% fewer HLO ops).  Enable per-model when steps dominate
+    # and the compile is cached.
+    distribute_division: bool = False
 
     # grouped-unrolled contraction path (ops/grouped.py): operand
     # state-space size above which batched message contractions are

@@ -289,11 +289,14 @@ def compile_plan(
                     nat = None
             if worst(tri) > _CFG.escalate_min_states:
                 # still above threshold: annealing recovers most of the
-                # remaining gap for a bounded few-second compile cost
+                # remaining gap for a bounded one-time compile cost.  Fixed
+                # step budget (not wall clock) so the triangulation — and
+                # therefore the compiled program and its persistent-cache
+                # key — is deterministic across processes.
                 from .triangulate import anneal_triangulation
 
                 tri3 = anneal_triangulation(
-                    int_factors, int_sizes, time_budget_s=2.0
+                    int_factors, int_sizes, steps=2000
                 )
                 if better(tri3, tri):
                     tri = tri3

@@ -310,6 +310,7 @@ def anneal_triangulation(
     time_budget_s: float = 2.0,
     seed: int = 0,
     init: Triangulation = None,
+    steps: int = None,
 ) -> Triangulation:
     """Simulated annealing over elimination orders (Kjaerulff-style).
 
@@ -335,16 +336,23 @@ def anneal_triangulation(
     cost = _order_cost(factors, sizes, order)
     best_order = list(order)
     best_cost = cost
-    t_end = _time.perf_counter() + time_budget_s
     # costs are log(total states): typical useful deltas are 1e-3..1e-1,
     # so temperatures must sit well below that or SA random-walks
     T0, T1 = 0.02, 5e-4
-    # estimate a step budget from a few timed evaluations, then anneal
-    t0 = _time.perf_counter()
-    for _ in range(3):
-        _order_cost(factors, sizes, order)
-    per_eval = max((_time.perf_counter() - t0) / 3, 1e-6)
-    steps = max(20, int((t_end - _time.perf_counter()) / per_eval))
+    if steps is not None:
+        # fixed step budget: fully deterministic trajectory (same factors,
+        # sizes, seed -> same triangulation -> same compiled program, so
+        # the persistent XLA cache hits across processes).  The
+        # auto-escalation path uses this.
+        t_end = float("inf")
+    else:
+        t_end = _time.perf_counter() + time_budget_s
+        # estimate a step budget from a few timed evaluations, then anneal
+        t0 = _time.perf_counter()
+        for _ in range(3):
+            _order_cost(factors, sizes, order)
+        per_eval = max((_time.perf_counter() - t0) / 3, 1e-6)
+        steps = max(20, int((t_end - _time.perf_counter()) / per_eval))
     for s in range(steps):
         if _time.perf_counter() > t_end:
             break
