@@ -34,6 +34,11 @@ _LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 # for throughput-bound serving with set_matmul_precision("default").
 _MATMUL_PRECISION = "highest"
 
+# log_sum_exp contractions whose union scope has at least this many states
+# go through the max-shifted linear einsum (log-matmul-exp) instead of
+# broadcast+logsumexp-reduce — see Semiring.contract
+LOG_EINSUM_MIN_STATES = 1 << 16
+
 
 def set_matmul_precision(p: str) -> None:
     global _MATMUL_PRECISION
@@ -127,6 +132,42 @@ class Semiring:
                 precision=_MATMUL_PRECISION,
             )
         scope = _union_scope(operand_vars, out_vars)
+        if self.name == "log_sum_exp" and len(operands) > 1:
+            # Large scopes: log-matmul-exp.  The broadcast+reduce below
+            # materializes the full union scope ([B, prod(extents)] floats —
+            # 51 GB on a hailfinder-class batched contraction), whereas a
+            # max-shifted linear einsum lets opt_einsum contract pairwise on
+            # the MXU and never builds the union tensor.  Per-operand global
+            # max shift: entries more than ~87 nats below an operand's max
+            # underflow to the semiring zero — exact for the mass that
+            # matters, and the fallback below remains in force for small
+            # scopes where full per-element precision is cheap.
+            extent = {}
+            for x, vs in zip(operands, operand_vars):
+                for d, v in zip(jnp.shape(x), vs):
+                    extent[v] = int(d)
+            union = 1
+            for v in scope:
+                union *= extent.get(v, 1)
+            if union >= LOG_EINSUM_MIN_STATES:
+                shifts = []
+                lin = []
+                for x, vs in zip(operands, operand_vars):
+                    m = jax.lax.stop_gradient(jnp.max(x))
+                    m = jnp.where(jnp.isfinite(m), m, 0.0)
+                    shifts.append(m)
+                    lin.append(jnp.exp(x - m))
+                opt = "optimal" if len(operands) <= 6 else "greedy"
+                y = jnp.einsum(
+                    make_subscripts(operand_vars, out_vars),
+                    *lin,
+                    optimize=opt,
+                    precision=_MATMUL_PRECISION,
+                )
+                tot = shifts[0]
+                for m in shifts[1:]:
+                    tot = tot + m
+                return jnp.where(y > 0, jnp.log(jnp.maximum(y, 1e-38)), -jnp.inf) + tot
         acc = _broadcast_to_scope(operands[0], operand_vars[0], scope)
         for x, vs in zip(operands[1:], operand_vars[1:]):
             acc = self._combine(acc, _broadcast_to_scope(x, vs, scope))
