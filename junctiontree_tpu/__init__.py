@@ -23,6 +23,7 @@ Fast TPU path:
 
 from .api import CliqueGraph, FactorGraph, JunctionTree, create_junction_tree
 from .approx import LoopyEngine
+from .cutset import CutsetEngine, choose_cutset
 from .evidence import apply_evidence, batch_masks, shrink_sizes
 from .executor import Engine, evidence_to_masks
 from .incremental import IncrementalSession
@@ -39,6 +40,8 @@ __all__ = [
     "Engine",
     "IncrementalSession",
     "LoopyEngine",
+    "CutsetEngine",
+    "choose_cutset",
     "Plan",
     "compile_plan",
     "apply_evidence",

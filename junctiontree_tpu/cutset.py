@@ -1,0 +1,306 @@
+"""Cutset conditioning: exact inference past the treewidth wall.
+
+Pearl's classic escape hatch for dense networks, re-designed TPU-first: the
+cutset's joint states become ANOTHER BATCH AXIS.  Conditioning on a cutset
+C removes its variables from the graph, so the reduced model triangulates
+with far smaller cliques *and separators* (serving memory is B x
+sep_states — see Engine.max_feasible_batch); each cutset assignment s
+yields one set of reduced potentials, stacked on a leading S axis; one
+compiled program vmaps over (S, B) and aggregates with logsumexp:
+
+    logZ[b]      = logsumexp_s( logZ_s[b] + logw_s[b] )
+    P(v = x | e) ∝ logsumexp_s( logmarg_s[v, x] + logw_s[b] )
+    P(c = x | e) ∝ logsumexp_{s : s_c = x}( logZ_s[b] + logw_s[b] )
+
+where logw carries any evidence on the cutset variables themselves.
+Everything runs in log space (per-state partition functions of big models
+underflow linear float32), riding the log-matmul-exp contraction path for
+any remaining big scopes.
+
+The reference has nothing like this — its only answer to a dense graph is
+an exponentially large clique (SURVEY.md §6: an 8x8 grid already produces a
+2^18-state clique).  Hailfinder-class models (12.4M-state cliques,
+3.1M-state separators after escalation) reduce to ~10^4-state cliques under
+a 3-variable cutset and serve at full batch sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .ops.semirings import LOG_SUM_EXP
+from .schedule import compile_plan
+
+
+def _max_states(factors, sizes, heuristic="min_fill") -> int:
+    from .labels import intern_factors
+    from .triangulate import min_fill_triangulation
+
+    table, int_factors, int_sizes = intern_factors(factors, sizes)
+    if not int_factors:
+        return 0
+    tri = min_fill_triangulation(int_factors, int_sizes, heuristic=heuristic)
+    worst = 1
+    for c in tri.maxcliques:
+        states = 1
+        for v in c:
+            states *= int_sizes[v]
+        worst = max(worst, states)
+    return worst
+
+
+def _without(factors, sizes, drop: set):
+    """Reduced factor scopes with ``drop`` variables conditioned away.
+    Scopes may become empty (per-assignment scalar weights)."""
+    red = [[v for v in f if v not in drop] for f in factors]
+    rsizes = {v: s for v, s in sizes.items() if v not in drop}
+    return red, rsizes
+
+
+def choose_cutset(
+    factors,
+    sizes,
+    target_states: int = 1 << 16,
+    max_vars: int = 6,
+    max_enum: int = 4096,
+) -> List[Hashable]:
+    """Greedy loop cutset: repeatedly remove the variable that most shrinks
+    the min-fill max-clique state space, until it is <= ``target_states``
+    or the enumeration budget (prod of cutset cardinalities) is spent.
+
+    Candidates are restricted to variables of the current largest clique
+    (removing anything else cannot shrink it)."""
+    from .labels import intern_factors
+    from .triangulate import min_fill_triangulation
+
+    cutset: List[Hashable] = []
+    cur_factors, cur_sizes = [list(f) for f in factors], dict(sizes)
+    enum = 1
+    while len(cutset) < max_vars:
+        table, int_factors, int_sizes = intern_factors(cur_factors, cur_sizes)
+        if not int_factors:
+            break
+        tri = min_fill_triangulation(int_factors, int_sizes)
+        worst_states, worst_clique = 0, None
+        for c in tri.maxcliques:
+            states = 1
+            for v in c:
+                states *= int_sizes[v]
+            if states > worst_states:
+                worst_states, worst_clique = states, c
+        if worst_states <= target_states or worst_clique is None:
+            break
+        best_v, best_cost = None, None
+        for v in worst_clique:
+            label = table.label_of(v)
+            if enum * cur_sizes[label] > max_enum:
+                continue
+            rf, rs = _without(cur_factors, cur_sizes, {label})
+            cost = _max_states(rf, rs)
+            if best_cost is None or cost < best_cost:
+                best_v, best_cost = label, cost
+        if best_v is None:
+            break
+        cutset.append(best_v)
+        enum *= cur_sizes[best_v]
+        cur_factors, cur_sizes = _without(cur_factors, cur_sizes, {best_v})
+    return cutset
+
+
+class CutsetEngine:
+    """Exact inference by cutset conditioning (see module docstring).
+
+    values are linear-space factor arrays (reference convention).  Queries
+    go through ``posterior_batch(mask_batch)`` with linear [B, size] masks
+    for ANY variable — reduced or cutset; returns ({label: [B, size]
+    normalized posteriors} over every variable, logZ [B])."""
+
+    def __init__(
+        self,
+        factors: Sequence[Sequence[Hashable]],
+        sizes: Dict[Hashable, int],
+        values: Sequence[np.ndarray],
+        cutset: Optional[Sequence[Hashable]] = None,
+        target_states: int = 1 << 16,
+        max_enum: int = 4096,
+        state_chunk: int = 32,
+    ):
+        import jax
+
+        self._state_chunk = int(state_chunk)
+
+        if cutset is None:
+            cutset = choose_cutset(
+                factors, sizes, target_states=target_states, max_enum=max_enum
+            )
+        self.cutset = list(cutset)
+        cset = set(self.cutset)
+        self.sizes = dict(sizes)
+        self.factors = [list(f) for f in factors]
+
+        # enumerate cutset assignments (row-major over self.cutset order)
+        cards = [sizes[v] for v in self.cutset]
+        S = int(np.prod(cards)) if cards else 1
+        self.num_states = S
+        grids = np.stack(
+            [g.ravel() for g in np.meshgrid(
+                *[np.arange(k) for k in cards], indexing="ij"
+            )], axis=1,
+        ) if cards else np.zeros((1, 0), dtype=int)
+        self._assignments = grids  # [S, len(cutset)]
+
+        # reduced model: factor scopes minus cutset vars; per-assignment
+        # values by indexing the cutset axes.  Empty-scope factors fold into
+        # the root clique as scalars (executor handles factor_to_maxclique
+        # == -1), so they contribute the per-assignment weight exactly.
+        red_factors, red_sizes = _without(self.factors, self.sizes, cset)
+        self.plan = compile_plan(red_factors, red_sizes)
+
+        # stack per-assignment clique potentials (log space): [S, *shape]
+        from .executor import evaluate_cliques_np
+
+        def reduce_values(assign_row) -> List[np.ndarray]:
+            out = []
+            for f, val in zip(self.factors, values):
+                val = np.asarray(val, dtype=np.float64)
+                idx = []
+                for v in f:
+                    if v in cset:
+                        idx.append(int(assign_row[self.cutset.index(v)]))
+                    else:
+                        idx.append(slice(None))
+                out.append(val[tuple(idx)])
+            return out
+
+        stacks: List[List[np.ndarray]] = None
+        for s in range(S):
+            vals = reduce_values(self._assignments[s])
+            with np.errstate(divide="ignore"):
+                vals = [np.log(v) for v in vals]
+            pots = evaluate_cliques_np(
+                self.plan, vals, LOG_SUM_EXP, dtype=np.float32
+            )
+            if stacks is None:
+                stacks = [[] for _ in pots]
+            for i, p in enumerate(pots):
+                stacks[i].append(p)
+        self._pots = [
+            jax.device_put(np.stack(ps)) for ps in stacks
+        ]  # each [S, *clique_shape]
+
+        # one-hot state matrices for cutset-variable posteriors: [S, card]
+        self._onehot = {}
+        for j, v in enumerate(self.cutset):
+            oh = np.full((S, sizes[v]), -np.inf, dtype=np.float32)
+            oh[np.arange(S), self._assignments[:, j]] = 0.0
+            self._onehot[v] = jax.device_put(oh)
+
+        self._prog_cache: dict = {}
+
+    def describe(self) -> dict:
+        st = self.plan.stats()
+        st["cutset"] = list(self.cutset)
+        st["cutset_states"] = self.num_states
+        return st
+
+    def posterior_batch(self, mask_batch: Dict[Hashable, np.ndarray]):
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel.batch import _single_query
+
+        plan = self.plan
+        cset = set(self.cutset)
+        red_ids = sorted(
+            plan.table.id_of(k) for k in mask_batch if k not in cset
+        )
+        cut_labels = tuple(k for k in self.cutset if k in mask_batch)
+        B = None
+        for m in mask_batch.values():
+            B = int(np.shape(m)[0])
+            break
+        if B is None:
+            raise ValueError("need at least one evidence mask")
+
+        # log-space masks over ALL reduced variables (unobserved -> zeros);
+        # the vmapped _single_query takes a full per-var list
+        logmasks = []
+        by_id = {
+            plan.table.id_of(k): np.asarray(v, dtype=np.float64)
+            for k, v in mask_batch.items() if k not in cset
+        }
+        with np.errstate(divide="ignore"):
+            for v in range(plan.num_vars):
+                if v in by_id:
+                    logmasks.append(
+                        jnp.asarray(np.log(by_id[v]), dtype=jnp.float32)
+                    )
+                else:
+                    logmasks.append(
+                        jnp.zeros((B, plan.sizes[v]), dtype=jnp.float32)
+                    )
+
+        # per-(s, b) cutset log-weights from evidence on cutset variables
+        logw = jnp.zeros((self.num_states, B), dtype=jnp.float32)
+        for k in cut_labels:
+            with np.errstate(divide="ignore"):
+                lm = jnp.asarray(
+                    np.log(np.asarray(mask_batch[k], dtype=np.float64)),
+                    dtype=jnp.float32,
+                )  # [B, card]
+            # state of k per assignment: one-hot [S, card] selects columns
+            sel = jnp.asarray(
+                self._assignments[:, self.cutset.index(k)]
+            )  # [S]
+            logw = logw + lm[:, sel].T  # [S, B]
+
+        key = (tuple(range(plan.num_vars)),)
+        fn = self._prog_cache.get(key)
+        if fn is None:
+            from functools import partial
+
+            single = partial(_single_query, plan, LOG_SUM_EXP)
+            # inner vmap over the evidence batch; the cutset axis is
+            # CHUNKED (lax.map batch_size) — a full vmap over S would
+            # materialize [S, B, clique_states] beliefs (12.7 GB on
+            # hailfinder-class at S=432, B=256); per chunk it's bounded
+            inner = jax.vmap(single, in_axes=(None, 0))
+            chunk = max(1, min(self.num_states, self._state_chunk))
+
+            def prog(pots, masks, logw, onehots):
+                margs, z = jax.lax.map(
+                    lambda p: inner(p, masks), pots, batch_size=chunk
+                )   # [S, B, size_v] per var, [S, B]
+                z = z + logw
+                logz = jax.nn.logsumexp(z, axis=0)             # [B]
+                posts = []
+                for v in range(plan.num_vars):
+                    m = margs[v] + logw[:, :, None]            # [S, B, K]
+                    m = jax.nn.logsumexp(m, axis=0)            # [B, K]
+                    m = jnp.exp(
+                        m - jax.nn.logsumexp(m, axis=-1, keepdims=True)
+                    )
+                    posts.append(m)
+                cut_posts = []
+                for oh in onehots:                              # [S, card]
+                    m = z[:, :, None] + oh[:, None, :]          # [S, B, card]
+                    m = jax.nn.logsumexp(m, axis=0)
+                    m = jnp.exp(
+                        m - jax.nn.logsumexp(m, axis=-1, keepdims=True)
+                    )
+                    cut_posts.append(m)
+                return posts, cut_posts, logz
+
+            fn = jax.jit(prog)
+            self._prog_cache[key] = fn
+
+        onehots = [self._onehot[v] for v in self.cutset]
+        posts, cut_posts, logz = fn(self._pots, logmasks, logw, onehots)
+        out = {
+            plan.table.label_of(v): posts[v] for v in range(plan.num_vars)
+        }
+        for v, m in zip(self.cutset, cut_posts):
+            out[v] = m
+        return out, logz
