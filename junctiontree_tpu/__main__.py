@@ -6,9 +6,10 @@
 Tasks follow the UAI competition conventions: PR prints log10 of the
 partition function; MAR prints per-variable posterior marginals; MPE prints
 the most probable assignment.  ``--engine auto`` (default) runs the exact
-junction-tree engine and falls back to loopy BP when the model's treewidth
-makes exact inference infeasible.  The reference library has no CLI or file
-format support at all."""
+junction-tree engine; when the model's treewidth makes that infeasible it
+first tries cutset conditioning (still exact — see cutset.py), then falls
+back to loopy BP.  The reference library has no CLI or file format support
+at all."""
 
 from __future__ import annotations
 
@@ -32,9 +33,11 @@ def main(argv=None) -> int:
     ap.add_argument("--stats", action="store_true", help="print compile stats")
     ap.add_argument("--out", help="write result to file instead of stdout")
     ap.add_argument(
-        "--engine", default="auto", choices=["auto", "exact", "loopy"],
-        help="auto: exact junction tree, falling back to loopy BP when the "
-        "treewidth makes exact inference infeasible; exact/loopy force one",
+        "--engine", default="auto",
+        choices=["auto", "exact", "cutset", "loopy"],
+        help="auto: exact junction tree, escalating to cutset conditioning "
+        "(still exact) and then loopy BP when the treewidth makes direct "
+        "exact inference infeasible; exact/cutset/loopy force one",
     )
     ap.add_argument("--iters", type=int, default=200,
                     help="loopy BP iteration cap")
@@ -53,8 +56,9 @@ def main(argv=None) -> int:
     evidence = load_evidence(args.evidence) if args.evidence else {}
 
     use_loopy = args.engine == "loopy"
+    use_cutset = args.engine == "cutset"
     tree = None
-    if not use_loopy:
+    if not (use_loopy or use_cutset):
         tree = jt.create_junction_tree(factors, sizes)
         if args.engine == "auto":
             from junctiontree_tpu.executor import check_feasible
@@ -62,16 +66,36 @@ def main(argv=None) -> int:
             try:
                 check_feasible(tree.plan)
             except ValueError as e:
-                print(f"# exact inference infeasible ({e}); "
-                      "falling back to loopy BP", file=sys.stderr)
-                use_loopy = True
-        if args.stats and not use_loopy:
+                # exact conditioning first (cutset is still exact); only
+                # MAR/PR go through it — cutset MPE is not implemented
+                cut = (
+                    jt.choose_cutset(factors, sizes)
+                    if args.task != "MPE" else []
+                )
+                if cut:  # only if it actually reaches feasibility
+                    from junctiontree_tpu.cutset import _max_states, _without
+                    from junctiontree_tpu.executor import MAX_CLIQUE_STATES
+
+                    red = _max_states(*_without(factors, sizes, set(cut)))
+                    if red > MAX_CLIQUE_STATES:
+                        cut = []
+                if cut:
+                    print(f"# exact inference infeasible directly ({e}); "
+                          f"conditioning on cutset {cut}", file=sys.stderr)
+                    use_cutset = True
+                else:
+                    print(f"# exact inference infeasible ({e}); "
+                          "falling back to loopy BP", file=sys.stderr)
+                    use_loopy = True
+        if args.stats and not (use_loopy or use_cutset):
             print(
                 "# compile %.2fs  %s"
                 % (time.perf_counter() - t0, tree.stats()),
                 file=sys.stderr,
             )
 
+    if use_cutset:
+        return _run_cutset(args, factors, sizes, values, evidence)
     if use_loopy:
         return _run_loopy(args, factors, sizes, values, evidence)
 
@@ -133,6 +157,56 @@ def _emit(text: str, out) -> None:
             f.write(text)
     else:
         sys.stdout.write(text)
+
+
+def _run_cutset(args, factors, sizes, values, evidence) -> int:
+    """Exact UAI MAR/PR past the treewidth wall via cutset conditioning."""
+    import numpy as np
+
+    from junctiontree_tpu.cutset import CutsetEngine
+
+    if args.task == "MPE":
+        print("# cutset MPE is not implemented; use --engine exact or loopy",
+              file=sys.stderr)
+        return 2
+    eng = CutsetEngine(factors, sizes, values)
+    n_vars = len(sizes)
+    used = {v for f in factors for v in f}
+    masks = {}
+    for v, state in evidence.items():
+        if v not in used:
+            continue
+        m = np.zeros((1, sizes[v]), dtype=np.float32)
+        m[0, state] = 1.0
+        masks[v] = m
+    if not masks:  # posterior_batch needs >=1 mask to size the batch
+        first = next(iter(used))
+        masks[first] = np.ones((1, sizes[first]), dtype=np.float32)
+    if args.stats:
+        print("# cutset engine: %s" % eng.describe(), file=sys.stderr)
+    post, logz = eng.posterior_batch(masks)
+    lz = float(np.asarray(logz)[0])
+    lines: list = []
+    if args.task == "PR":
+        lines.append("PR")
+        lines.append("%.6f" % (lz / np.log(10.0)))
+    else:
+        lines.append("MAR")
+        parts = [str(n_vars)]
+        for v in range(n_vars):
+            if v in used:
+                p = np.asarray(post[v])[0]
+            else:
+                card = sizes[v]
+                p = np.full(card, 1.0 / card)
+                if v in evidence:
+                    p = np.zeros(card)
+                    p[evidence[v]] = 1.0
+            parts.append(str(len(p)))
+            parts.extend("%.8f" % x for x in p)
+        lines.append(" ".join(parts))
+    _emit("\n".join(lines) + "\n", args.out)
+    return 0
 
 
 def _run_loopy(args, factors, sizes, values, evidence) -> int:

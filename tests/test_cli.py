@@ -81,6 +81,43 @@ def test_cli_mpe(uai_files):
     assert all(0 <= int(x) < 2 for x in toks[1:])
 
 
+def test_cli_cutset_engine(uai_files):
+    """Forced cutset engine stays EXACT: MAR/PR match the oracle; MPE is
+    rejected with a clear message."""
+    model, evid, f, s, v = uai_files
+    r = run_cli(str(model), "--task", "PR", "--engine", "cutset", "--stats")
+    assert r.returncode == 0, r.stderr
+    (z,) = brute_force_marginals(f, s, v, [[]])
+    got = float(r.stdout.splitlines()[1])
+    np.testing.assert_allclose(got, np.log10(z), rtol=1e-4)
+    assert "cutset engine" in r.stderr
+
+    r = run_cli(str(model), "--task", "MAR", "--engine", "cutset",
+                "--evidence", str(evid))
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "MAR"
+    toks = lines[1].split()
+    assert int(toks[0]) == len(s)
+    card0 = int(toks[1])
+    p0 = [float(x) for x in toks[2:2 + card0]]
+    np.testing.assert_allclose(p0, [0.0, 1.0], atol=1e-6)
+    # an unobserved variable's posterior matches the brute-force oracle
+    (m_last,) = brute_force_marginals(f, s, v, [[len(s) - 1]],
+                                      evidence={0: 1})
+    off = 2 + card0
+    for _ in range(len(s) - 2):
+        card = int(toks[off])
+        off += 1 + card
+    card_last = int(toks[off])
+    p_last = [float(x) for x in toks[off + 1:off + 1 + card_last]]
+    np.testing.assert_allclose(p_last, m_last / m_last.sum(), atol=1e-5)
+
+    r = run_cli(str(model), "--task", "MPE", "--engine", "cutset")
+    assert r.returncode == 2
+    assert "not implemented" in r.stderr
+
+
 def test_cli_out_file(uai_files, tmp_path):
     model, evid, f, s, v = uai_files
     out = tmp_path / "res.txt"
