@@ -18,6 +18,16 @@ class Config:
     semiring: str = "sum_product"          # sum_product | log_sum_exp | max_product
     matmul_precision: str = "highest"      # highest (f32 MXU) | default (bf16 passes)
 
+    # Storage dtype for the batched serving path (potentials, masks and
+    # rescaled messages as they sit in HBM): "float32" (exact default) or
+    # "bfloat16".  bfloat16 halves HBM traffic — the binding constraint on
+    # capacity-bound models (hailfinder-class: [B, 3.1M-state-sep] messages
+    # bound the feasible batch) — while contractions still ACCUMULATE in
+    # float32 on the MXU (preferred_element_type).  Posterior error is
+    # ~1e-2 relative (bf16 has ~3 significant digits); linear sum_product
+    # rescaled programs only — the parity paths (propagate/query) stay f32.
+    storage_dtype: str = "float32"
+
     # compile
     heuristic: str = "auto"                # auto (min_fill + escalation) |
     #                                        min_fill | min_degree |

@@ -586,6 +586,14 @@ def batched_propagate_program(
                 else p.reshape(plan.clique_shape(c))
 
         pots = [norm_pot(c, p) for c, p in enumerate(pots)]
+        # storage dtype rides the potentials (config.storage_dtype via
+        # Engine._program_pots): bf16 pots pull masks and rescaled messages
+        # down to bf16 in HBM while contractions accumulate f32 (semirings
+        # sets preferred_element_type); outputs are returned f32
+        storage = jnp.result_type(pots[0]) if pots else jnp.float32
+        lowp = storage in (jnp.bfloat16, jnp.float16)
+        if lowp:
+            masks = [m.astype(storage) for m in masks]
         B = jnp.shape(masks[0])[0] if masks else 1
         logoff = jnp.zeros(())  # collect-pass rescaling offsets (-> logZ)
 
@@ -628,10 +636,13 @@ def batched_propagate_program(
             s = jnp.max(m, axis=axes, keepdims=batched)
             s = jnp.maximum(s, _TINY)
             if track:
+                # logZ accumulates at full precision even for bf16 storage
+                s32 = s.astype(jnp.float32) if lowp else s
                 logoff = logoff + jnp.log(
-                    s.reshape(s.shape[0]) if batched else s
+                    s32.reshape(s32.shape[0]) if batched else s32
                 )
-            return m / s
+            m = m / s
+            return m.astype(storage) if lowp else m
 
         # collect
         up: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
@@ -739,7 +750,7 @@ def batched_propagate_program(
                 out, b = contract(ops, ovs, [v])
             if not b:
                 out = jnp.broadcast_to(out[None, :], (B, out.shape[0]))
-            margs.append(out)
+            margs.append(out.astype(jnp.float32) if lowp else out)
 
         if tree.root in belief_cache:
             zbel, zb = belief_cache[tree.root]
@@ -751,6 +762,8 @@ def batched_propagate_program(
             z, b = contract(rops, rovs, [])
         if not b:
             z = jnp.broadcast_to(z[None], (B,)) if z.ndim == 0 else z
+        if lowp:
+            z = z.astype(jnp.float32)
         if rescale:
             # return logZ = log(z_scaled) + accumulated collect offsets
             # (impossible evidence: z_scaled == 0 -> logZ = -inf)
@@ -1107,18 +1120,32 @@ class Engine:
         low-rank views and never restore full rank.  Flattened once per
         ``set_potentials`` (device reshape), then cached."""
         pots = self._require_pots()
-        if self._pots_prog is None:
-            from .config import DEFAULT as _CFG
+        from .config import DEFAULT as _CFG
 
+        dtype = self._storage_dtype()
+        lowp = dtype == jnp.bfloat16  # full-precision pots pass through as-is
+        if self._pots_prog is None or self._pots_prog[0] != dtype:
             gmin = _CFG.grouped_min_states
             out = []
             for c, p in enumerate(pots):
                 states = _vars_states(self.plan.sizes, self.plan.clique_vars[c])
-                out.append(
-                    p.reshape((-1,)) if states >= gmin and p.ndim != 1 else p
-                )
-            self._pots_prog = out
-        return self._pots_prog
+                p = p.reshape((-1,)) if states >= gmin and p.ndim != 1 else p
+                out.append(p.astype(dtype) if lowp and p.dtype != dtype else p)
+            self._pots_prog = (dtype, out)
+        return self._pots_prog[1]
+
+    def _storage_dtype(self):
+        """HBM dtype of the batched serving path (config.storage_dtype).
+        bfloat16 applies to linear sum-product rescaled programs only —
+        log-space engines keep f32 (logsumexp in bf16 loses the tail)."""
+        from .config import DEFAULT as _CFG
+
+        if (
+            _CFG.storage_dtype == "bfloat16"
+            and self.semiring.name == "sum_product"
+        ):
+            return jnp.bfloat16
+        return jnp.float32
 
     def _device_put_pots(self, pots: List[np.ndarray]) -> List[jnp.ndarray]:
         """Place clique potentials: oversized cliques go flat-sharded over
@@ -1559,7 +1586,8 @@ class Engine:
         (collect + distribute of the widest region; 8 is conservative).
         Returns at least 1."""
         st = self.plan.stats()
-        per_query = 4 * max(st["max_sep_states"], 1) * live_messages
+        itemsize = jnp.dtype(self._storage_dtype()).itemsize
+        per_query = itemsize * max(st["max_sep_states"], 1) * live_messages
         b = max(1, int(budget_bytes // per_query))
         return 1 << (b.bit_length() - 1)
 

@@ -65,8 +65,10 @@ def _kernel_flags() -> Tuple[bool, bool]:
 def reference_factored_contract(
     pot: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray
 ) -> jnp.ndarray:
-    """Oracle implementation (materializes [B, R2, C]; test-sized only)."""
-    return jnp.einsum("rsc,br,bs->bc", pot, w1, w2, precision="highest")
+    """Oracle implementation (materializes [B, R2, C]; test-sized only).
+    Also the routed XLA fallback — accumulates f32 even for bf16 storage."""
+    return jnp.einsum("rsc,br,bs->bc", pot, w1, w2, precision="highest",
+                      preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -495,6 +497,12 @@ def big_clique_sep_message(
         w2 = jnp.ones((B, R), dtype=pot.dtype)
         p3 = p.reshape(R1, R2, C)
 
+    if jnp.result_type(p3) != jnp.float32 and contract_fn is None:
+        # low-precision storage (config.storage_dtype="bfloat16"): the
+        # Pallas kernel's tiling/accumulator is f32-only; the XLA form
+        # accumulates f32 via preferred_element_type and keeps the
+        # traffic win
+        use_pallas = False
     if contract_fn is not None:
         out = contract_fn(p3, w1, w2)
     elif use_pallas and interpret:

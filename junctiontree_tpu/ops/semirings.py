@@ -125,11 +125,23 @@ class Semiring:
             # exhaustive contraction-path search is exponential in operand
             # count (a 10-child clique hangs it); switch to greedy beyond 6
             opt = "optimal" if len(operands) <= 6 else "greedy"
+            # low-precision storage (config.storage_dtype="bfloat16"):
+            # accumulate in f32 on the MXU — native TPU mode, no accuracy
+            # cliff from long reduction chains
+            pet = (
+                jnp.float32
+                if any(
+                    jnp.result_type(o) in (jnp.bfloat16, jnp.float16)
+                    for o in operands
+                )
+                else None
+            )
             return jnp.einsum(
                 make_subscripts(operand_vars, out_vars),
                 *operands,
                 optimize=opt,
                 precision=_MATMUL_PRECISION,
+                preferred_element_type=pet,
             )
         scope = _union_scope(operand_vars, out_vars)
         if self.name == "log_sum_exp" and len(operands) > 1:
