@@ -66,12 +66,9 @@ def main(argv=None) -> int:
             try:
                 check_feasible(tree.plan)
             except ValueError as e:
-                # exact conditioning first (cutset is still exact); only
-                # MAR/PR go through it — cutset MPE is not implemented
-                cut = (
-                    jt.choose_cutset(factors, sizes)
-                    if args.task != "MPE" else []
-                )
+                # exact conditioning first (cutset is still exact, for all
+                # of MAR/PR/MPE); loopy BP is the approximate last resort
+                cut = jt.choose_cutset(factors, sizes)
                 if cut:  # only if it actually reaches feasibility
                     from junctiontree_tpu.cutset import _max_states, _without
                     from junctiontree_tpu.executor import MAX_CLIQUE_STATES
@@ -160,18 +157,28 @@ def _emit(text: str, out) -> None:
 
 
 def _run_cutset(args, factors, sizes, values, evidence) -> int:
-    """Exact UAI MAR/PR past the treewidth wall via cutset conditioning."""
+    """Exact UAI MAR/PR/MPE past the treewidth wall via cutset conditioning."""
     import numpy as np
 
     from junctiontree_tpu.cutset import CutsetEngine
 
-    if args.task == "MPE":
-        print("# cutset MPE is not implemented; use --engine exact or loopy",
-              file=sys.stderr)
-        return 2
     eng = CutsetEngine(factors, sizes, values)
     n_vars = len(sizes)
     used = {v for f in factors for v in f}
+    if args.task == "MPE":
+        if args.stats:
+            print("# cutset engine: %s" % eng.describe(), file=sys.stderr)
+        model_evidence = {k: v for k, v in evidence.items() if k in used}
+        assign, logp = eng.map_assignment(model_evidence)
+        print("# log p = %.6f" % logp, file=sys.stderr)
+        lines = [
+            "MPE",
+            str(n_vars) + " " + " ".join(
+                str(assign.get(v, evidence.get(v, 0))) for v in range(n_vars)
+            ),
+        ]
+        _emit("\n".join(lines) + "\n", args.out)
+        return 0
     masks = {}
     for v, state in evidence.items():
         if v not in used:

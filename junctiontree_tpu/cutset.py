@@ -304,3 +304,116 @@ class CutsetEngine:
         for v, m in zip(self.cutset, cut_posts):
             out[v] = m
         return out, logz
+
+    def _log_masks_and_weights(self, mask_batch):
+        """Split linear masks into reduced-model LOG masks (full per-var
+        list, clamped so forbidden states survive max-reductions) and the
+        per-(s, b) cutset log-weights."""
+        import jax.numpy as jnp
+
+        plan = self.plan
+        cset = set(self.cutset)
+        B = None
+        for m in mask_batch.values():
+            B = int(np.shape(m)[0])
+            break
+        if B is None:
+            raise ValueError("need at least one evidence mask")
+        _NEG = -1e30
+        by_id = {
+            plan.table.id_of(k): np.asarray(v, dtype=np.float64)
+            for k, v in mask_batch.items() if k not in cset
+        }
+        logmasks = []
+        with np.errstate(divide="ignore"):
+            for v in range(plan.num_vars):
+                if v in by_id:
+                    lm = np.maximum(np.log(by_id[v]), _NEG)
+                    logmasks.append(jnp.asarray(lm, dtype=jnp.float32))
+                else:
+                    logmasks.append(
+                        jnp.zeros((B, plan.sizes[v]), dtype=jnp.float32)
+                    )
+        logw = jnp.zeros((self.num_states, B), dtype=jnp.float32)
+        for k in self.cutset:
+            if k not in mask_batch:
+                continue
+            with np.errstate(divide="ignore"):
+                lm = jnp.asarray(
+                    np.maximum(
+                        np.log(np.asarray(mask_batch[k], dtype=np.float64)),
+                        _NEG,
+                    ),
+                    dtype=jnp.float32,
+                )
+            sel = jnp.asarray(self._assignments[:, self.cutset.index(k)])
+            logw = logw + lm[:, sel].T
+        return logmasks, logw, B
+
+    def map_assignment_batch(self, mask_batch):
+        """Exact batched MPE past the treewidth wall: per cutset assignment,
+        the reduced model's max-product traceback (map_executor), then the
+        best assignment over the cutset axis.
+
+        MPE = max_s [ max_rest joint(rest | s) * w_s(evidence) ] — the max
+        distributes over the conditioning exactly like the sum does for
+        posteriors.  ``mask_batch``: {label: [B, size] LINEAR masks} for any
+        variable (reduced or cutset).  Returns ({label: [B] int arrays over
+        EVERY variable incl. the cutset}, scores [B] log unnormalized)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .map_executor import tree_map_program
+
+        plan = self.plan
+        logmasks, logw, B = self._log_masks_and_weights(mask_batch)
+
+        key = ("map", tuple(range(plan.num_vars)))
+        fn = self._prog_cache.get(key)
+        if fn is None:
+            prog = tree_map_program(plan, list(range(plan.num_vars)))
+            chunk = max(1, min(self.num_states, self._state_chunk))
+
+            def mp(pots, masks, logw):
+                assign, score = jax.lax.map(
+                    lambda p: prog(p, masks), pots, batch_size=chunk
+                )  # [S, B, n_red_vars] int32, [S, B]
+                score = score + logw
+                best = jnp.argmax(score, axis=0)                 # [B]
+                top = jnp.take_along_axis(
+                    score, best[None, :], axis=0
+                )[0]                                             # [B]
+                sel = jnp.take_along_axis(
+                    assign, best[None, :, None], axis=0
+                )[0]                                             # [B, n_red]
+                return sel, best, top
+
+            fn = jax.jit(mp)
+            self._prog_cache[key] = fn
+
+        # max-product wants log-space potentials — self._pots already are
+        sel, best, top = fn(self._pots, logmasks, logw)
+        sel = np.asarray(sel)
+        best = np.asarray(best)
+        out = {
+            plan.table.label_of(v): sel[:, v].astype(np.int32)
+            for v in range(plan.num_vars)
+        }
+        for j, k in enumerate(self.cutset):
+            out[k] = self._assignments[best, j].astype(np.int32)
+        return out, np.asarray(top)
+
+    def map_assignment(self, evidence: Optional[Dict] = None):
+        """Single MPE query with hard evidence {label: state}.  Returns
+        ({label: state}, log unnormalized joint at the assignment)."""
+        evidence = dict(evidence or {})
+        masks = {}
+        for k, state in evidence.items():
+            m = np.zeros((1, self.sizes[k]), dtype=np.float32)
+            m[0, int(state)] = 1.0
+            masks[k] = m
+        if not masks:  # need one mask to size the batch
+            k0 = next(iter(self.sizes))
+            masks[k0] = np.ones((1, self.sizes[k0]), dtype=np.float32)
+        assign, score = self.map_assignment_batch(masks)
+        return {k: int(v[0]) for k, v in assign.items()}, float(score[0])

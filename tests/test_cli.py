@@ -113,9 +113,18 @@ def test_cli_cutset_engine(uai_files):
     p_last = [float(x) for x in toks[off + 1:off + 1 + card_last]]
     np.testing.assert_allclose(p_last, m_last / m_last.sum(), atol=1e-5)
 
+    # cutset MPE matches the exact engine's decoded score
     r = run_cli(str(model), "--task", "MPE", "--engine", "cutset")
-    assert r.returncode == 2
-    assert "not implemented" in r.stderr
+    assert r.returncode == 0, r.stderr
+    r_exact = run_cli(str(model), "--task", "MPE", "--engine", "exact")
+    lp = [float(l.split("=")[1]) for l in r.stderr.splitlines()
+          if "log p" in l]
+    lp_exact = [float(l.split("=")[1]) for l in r_exact.stderr.splitlines()
+                if "log p" in l]
+    np.testing.assert_allclose(lp, lp_exact, rtol=1e-4)
+    toks = r.stdout.splitlines()[1].split()
+    assert int(toks[0]) == len(s)
+    assert all(0 <= int(x) < 2 for x in toks[1:])
 
 
 def test_cli_out_file(uai_files, tmp_path):

@@ -75,6 +75,71 @@ def test_choose_cutset_shrinks_dense_model():
     assert after < before / 50, (before, after, cut)
 
 
+def _enum_mpe(factors, sizes, values, evidence):
+    """Oracle: enumerate the full joint, return (argmax dict, log score)."""
+    import itertools
+
+    names = list(sizes)
+    best, best_p = None, -1.0
+    for assign in itertools.product(*[range(sizes[v]) for v in names]):
+        a = dict(zip(names, assign))
+        if any(a[v] != s for v, s in evidence.items()):
+            continue
+        p = 1.0
+        for f, val in zip(factors, values):
+            p *= float(np.asarray(val)[tuple(a[v] for v in f)])
+        if p > best_p:
+            best, best_p = a, p
+    return best, np.log(best_p)
+
+
+def test_cutset_mpe_matches_enumeration():
+    factors, sizes, values = grid_mrf_model(3, 3, seed=6)
+    names = list(sizes)
+    evidence = {names[1]: 1, names[4]: 0}  # names[4] will be the cutset var
+    ce = CutsetEngine(factors, sizes, values, cutset=[names[4], names[7]])
+    got, score = ce.map_assignment(evidence)
+    want, want_score = _enum_mpe(factors, sizes, values, evidence)
+    np.testing.assert_allclose(score, want_score, rtol=1e-5)
+    # the decoded assignment must attain the optimum (ties possible, so
+    # compare scores of the decoded assignment, not states)
+    p = 1.0
+    for f, val in zip(factors, values):
+        p *= float(np.asarray(val)[tuple(got[v] for v in f)])
+    np.testing.assert_allclose(np.log(p), want_score, rtol=1e-5)
+    for v, s in evidence.items():
+        assert got[v] == s
+
+
+def test_cutset_mpe_batch_matches_monolithic():
+    factors, sizes, values = grid_mrf_model(3, 4, seed=8)
+    names = list(sizes)
+    B = 4
+    rng = np.random.default_rng(3)
+    masks = {}
+    for v in (names[0], names[5]):
+        m = np.zeros((B, sizes[v]), dtype=np.float32)
+        m[np.arange(B), rng.integers(0, sizes[v], B)] = 1.0
+        masks[v] = m
+    ce = CutsetEngine(factors, sizes, values, cutset=[names[5], names[6]])
+    got, scores = ce.map_assignment_batch(masks)
+
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine("max_product").set_potentials(values)
+    logmasks = {k: np.where(m > 0, 0.0, -np.inf).astype(np.float32)
+                for k, m in masks.items()}
+    assign_w, scores_w = eng.map_assignment_batch(logmasks)
+    assign_w = np.asarray(assign_w)
+    np.testing.assert_allclose(scores, np.asarray(scores_w), rtol=1e-4)
+    # both decoders attain the same joint score per batch element
+    for b in range(B):
+        p_got = sum(
+            float(np.log(np.asarray(val)[tuple(got[v][b] for v in f)]))
+            for f, val in zip(factors, values)
+        )
+        np.testing.assert_allclose(p_got, scores[b], rtol=1e-4)
+
+
 def test_cutset_engine_hailfinder_class():
     """End-to-end on the dense BN class: small reduced cliques, finite
     logZ, normalized posteriors for every variable incl. the cutset."""
