@@ -44,7 +44,7 @@ class PhaseTimers:
 
 # process-wide timers used by compile_plan / Engine (SURVEY.md §5: every
 # compile and program build in the package is phased through here;
-# Engine.describe() and `bench.py --phases` surface the totals)
+# Engine.describe()["process_phase_totals_s"] surfaces the totals)
 TIMERS = PhaseTimers()
 
 
