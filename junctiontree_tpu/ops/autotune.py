@@ -86,15 +86,18 @@ def _time_once(fn, args, iters: int = 5) -> float:
     return best
 
 
-def decide(R1: int, R2: int, C: int, B: int) -> str:
+def decide(R1: int, R2: int, C: int, B: int, dtype: str = "f32") -> str:
     """Return "pallas" or "xla" for the factored contraction shape.
 
     Order of resolution: VMEM feasibility (no feasible tiling => "xla"),
     XLA-intermediate blowup (einsum would materialize > ~2 GB => "pallas"
-    without measuring), cached measurement, fresh measurement."""
+    without measuring), cached measurement, fresh measurement.  ``dtype``
+    ("f32" | "bf16") is part of the cache key — bf16 storage halves
+    streaming traffic so the winner can differ per dtype."""
     from .pallas_contract import plan_tiles
 
-    if plan_tiles(R1, R2, C, B) is None:
+    itemsize = 2 if dtype == "bf16" else 4
+    if plan_tiles(R1, R2, C, B, itemsize=itemsize) is None:
         return "xla"
     # best XLA einsum pairing materializes the smallest of these
     inter = min(B * R2 * C, B * R1 * C, B * R1 * R2)
@@ -102,13 +105,13 @@ def decide(R1: int, R2: int, C: int, B: int) -> str:
         return "pallas"
     if not _ENABLED:
         return "pallas"
-    key = f"f32:{R1}x{R2}x{C}:B{B}"
+    key = f"{dtype}:{R1}x{R2}x{C}:B{B}"
     with _LOCK:
         cache = _load()
         ent = cache.get(key)
         if ent is not None:
             return ent["winner"]
-    ent = measure(R1, R2, C, B)
+    ent = measure(R1, R2, C, B, dtype=dtype)
     with _LOCK:
         cache = _load()
         cache[key] = ent
@@ -116,7 +119,7 @@ def decide(R1: int, R2: int, C: int, B: int) -> str:
     return ent["winner"]
 
 
-def measure(R1: int, R2: int, C: int, B: int) -> dict:
+def measure(R1: int, R2: int, C: int, B: int, dtype: str = "f32") -> dict:
     """Time both candidate programs on ones-filled operands; return the
     record {winner, pallas_ms, xla_ms, flops, achieved_tflops, roofline}.
 
@@ -136,9 +139,10 @@ def measure(R1: int, R2: int, C: int, B: int) -> dict:
         reference_factored_contract,
     )
 
-    pot = jnp.ones((R1, R2, C), jnp.float32)
-    w1 = jnp.ones((B, R1), jnp.float32)
-    w2 = jnp.ones((B, R2), jnp.float32)
+    dt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    pot = jnp.ones((R1, R2, C), dt)
+    w1 = jnp.ones((B, R1), dt)
+    w2 = jnp.ones((B, R2), dt)
     try:
         t_p = _time_once(jax.jit(factored_masked_contract), (pot, w1, w2))
     except Exception as e:

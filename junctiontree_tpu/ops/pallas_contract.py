@@ -97,35 +97,43 @@ def plan_tiles(
     block_b: int = 256,
     block_r1: int = 8,
     vmem_budget: int = VMEM_BUDGET,
+    itemsize: int = 4,
 ) -> Optional[dict]:
     """Choose kernel tiles for the [R1,R2,C] x [B,R1] x [B,R2] contraction.
 
     Returns {TB, TR1, TC, R1p, Bp, Cp, vmem_bytes} or None when no tiling
     fits ``vmem_budget`` (the caller then uses the XLA fallback).  Accounting
-    (float32, pipelined inputs double-buffered):
+    (inputs at ``itemsize`` bytes — 4 for f32, 2 for bf16 storage — the
+    accumulator always f32; pipelined inputs double-buffered):
       w1t block  (R1p, TB)       x2
       w2  block  (TB,  R2)       x2
       pot block  (TR1, TC, R2)   x2
-      out block  (TB,  TC)       x1  (revisited accumulator)
+      out block  (TB,  TC)       x1  (revisited f32 accumulator)
     """
 
     def bytes_for(TB, TR1, TC, R1p):
-        return 4 * (
-            2 * R1p * TB + 2 * TB * R2 + 2 * TR1 * TC * R2 + TB * TC
-        )
+        # w1t stays f32 even under bf16 storage (its rows are loaded at a
+        # dynamic index, which Mosaic only supports for 32-bit types; it is
+        # the smallest operand, so the traffic win lives in pot/w2)
+        return 4 * 2 * R1p * TB + itemsize * (
+            2 * TB * R2 + 2 * TR1 * TC * R2
+        ) + 4 * TB * TC
 
+    # Mosaic sublane granularity doubles for 2-byte types: second-to-last
+    # block dims must be multiples of 8 (f32) / 16 (bf16) — or full
+    sub = 8 if itemsize >= 4 else 16
     # C tile: full C when small (separators are usually tiny — keeps the
     # round-1/2 behavior and grid); otherwise a multiple of 128, which is
     # lane-aligned for the out block and sublane-aligned for the pot block.
     # Among feasible (TB, TC) combinations prefer the largest batch tile
     # (MXU utilization), then the largest C tile (fewer grid steps).
-    c_full = _round_up(C, 8)
+    c_full = _round_up(C, sub)
     tc_candidates = [c_full] + [t for t in (512, 256, 128) if t < c_full]
     # Mosaic lowering requires each block's LAST dim to be a multiple of
     # 128 or equal to the array dim (and the second-to-last a multiple of
-    # 8 or full).  TB is the last dim of the w1t block, so legal batch
+    # 8/16 or full).  TB is the last dim of the w1t block, so legal batch
     # tiles are multiples of 128 — or one full-batch block.
-    bp_full = _round_up(B, 8)
+    bp_full = _round_up(B, sub)
     tb_candidates = []
     t = (min(block_b, bp_full) // 128) * 128
     while t >= 128:
@@ -140,9 +148,9 @@ def plan_tiles(
         for tb in tb_candidates:
             # pot-block budget after the fixed-per-TB blocks (w1t full-R1
             # height is the worst case: TR1=R1 -> R1p=R1)
-            other = 4 * (2 * R1 * tb + 2 * tb * R2 + tb * TC)
+            other = 4 * 2 * R1 * tb + itemsize * 2 * tb * R2 + 4 * tb * TC
             rem = vmem_budget - other
-            tr1_fit = rem // (4 * 2 * TC * R2) if rem > 0 else 0
+            tr1_fit = rem // (itemsize * 2 * TC * R2) if rem > 0 else 0
             if tr1_fit < 1:
                 continue
             TR1 = max(1, min(block_r1, int(tr1_fit), R1))
@@ -200,9 +208,19 @@ def factored_masked_contract(
     B = w1.shape[0]
     assert w1.shape == (B, R1) and w2.shape == (B, R2)
 
+    # bf16 storage rides through the kernel at 2 bytes/element (doubled
+    # streaming bandwidth); the accumulator and output stay f32
+    in_dtype = (
+        jnp.bfloat16
+        if any(
+            jnp.result_type(x) == jnp.bfloat16 for x in (pot, w1, w2)
+        )
+        else jnp.float32
+    )
     tiles = plan_tiles(
         R1, R2, C, B,
         block_b=block_b, block_r1=block_r1, vmem_budget=vmem_budget,
+        itemsize=jnp.dtype(in_dtype).itemsize,
     )
     if tiles is None:
         raise ValueError(
@@ -212,10 +230,14 @@ def factored_masked_contract(
     TB, TR1, TC = tiles["TB"], tiles["TR1"], tiles["TC"]
     R1p, Bp, Cp = tiles["R1p"], tiles["Bp"], tiles["Cp"]
 
-    dtype = jnp.float32
-    pot = pot.astype(dtype)
-    w1 = w1.astype(dtype)
-    w2 = w2.astype(dtype)
+    dtype = jnp.float32  # accumulator/output dtype
+    pot = pot.astype(in_dtype)
+    w1 = w1.astype(jnp.float32)  # dynamic row loads need a 32-bit type
+    w2 = w2.astype(in_dtype)
+    if in_dtype == jnp.bfloat16:
+        # one native bf16 MXU pass, f32 accumulation (pet in the kernel);
+        # "highest" would force f32 upcast passes and defeat the storage win
+        precision = "default"
 
     # Layout: the streamed potential goes in as [R1, C, R2] so the large R2
     # axis lands on the 128-lane dimension and the (often tiny) separator
@@ -256,7 +278,8 @@ def factored_masked_contract(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            acc = acc + w1t_ref[j * TR1 + i, :][:, None] * partial
+            w1col = w1t_ref[j * TR1 + i, :][:, None]  # f32 (see above)
+            acc = acc + w1col * partial
         out_ref[:] = acc
 
     grid = (n_b, n_c, n_r1)
@@ -497,11 +520,11 @@ def big_clique_sep_message(
         w2 = jnp.ones((B, R), dtype=pot.dtype)
         p3 = p.reshape(R1, R2, C)
 
-    if jnp.result_type(p3) != jnp.float32 and contract_fn is None:
-        # low-precision storage (config.storage_dtype="bfloat16"): the
-        # Pallas kernel's tiling/accumulator is f32-only; the XLA form
-        # accumulates f32 via preferred_element_type and keeps the
-        # traffic win
+    kdtype = jnp.result_type(p3)
+    if kdtype not in (jnp.float32, jnp.bfloat16) and contract_fn is None:
+        # the kernel handles f32 and bf16 storage; anything else (f64 test
+        # configs, f16) takes the XLA form, which accumulates f32 via
+        # preferred_element_type
         use_pallas = False
     if contract_fn is not None:
         out = contract_fn(p3, w1, w2)
@@ -510,7 +533,8 @@ def big_clique_sep_message(
         out = factored_masked_contract(p3, w1, w2, interpret=True)
     elif use_pallas:
         r1, r2, c = (int(d) for d in p3.shape)
-        if plan_tiles(r1, r2, c, int(B)) is None:
+        itemsize = jnp.dtype(kdtype).itemsize
+        if plan_tiles(r1, r2, c, int(B), itemsize=itemsize) is None:
             # no VMEM-feasible tiling (huge separator and/or rest widths):
             # the XLA einsum path is safe — this is the round-2 Hailfinder
             # compile-OOM case, now a routed fallback instead of a crash
@@ -523,7 +547,10 @@ def big_clique_sep_message(
             if autotune:
                 from .autotune import decide
 
-                route = decide(r1, r2, c, int(B))
+                route = decide(
+                    r1, r2, c, int(B),
+                    dtype="bf16" if kdtype == jnp.bfloat16 else "f32",
+                )
             else:
                 route = "pallas"
             if route == "pallas":

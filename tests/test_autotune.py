@@ -47,8 +47,8 @@ def test_huge_xla_intermediate_routes_to_pallas_without_measuring(monkeypatch):
 def test_measured_winner_is_cached_in_memory_and_on_disk(monkeypatch):
     calls = []
 
-    def fake_measure(R1, R2, C, B):
-        calls.append((R1, R2, C, B))
+    def fake_measure(R1, R2, C, B, dtype="f32"):
+        calls.append((R1, R2, C, B, dtype))
         return dict(winner="xla", pallas_ms=2.0, xla_ms=1.0, flops=1,
                     hbm_bytes=1, achieved_tflops=0.0, roofline_fraction=0.0)
 

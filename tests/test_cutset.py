@@ -140,6 +140,75 @@ def test_cutset_mpe_batch_matches_monolithic():
         np.testing.assert_allclose(p_got, scores[b], rtol=1e-4)
 
 
+def test_cutset_fuzz_vs_oracle():
+    """Random small factor graphs x random cutsets x random (hard+soft)
+    evidence: posteriors, logZ and MPE all match brute force."""
+    from tests.util import brute_force_marginals
+
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        nv = int(rng.integers(4, 8))
+        names = [f"v{i}" for i in range(nv)]
+        sizes = {v: int(rng.integers(2, 4)) for v in names}
+        factors = [[v] for v in names]
+        for _ in range(int(rng.integers(nv, 2 * nv))):
+            k = int(rng.integers(2, min(4, nv) + 1))
+            scope = list(rng.choice(nv, size=k, replace=False))
+            factors.append([names[i] for i in sorted(scope)])
+        values = [
+            rng.random(tuple(sizes[v] for v in f)).astype(np.float64) + 0.05
+            for f in factors
+        ]
+        n_cut = int(rng.integers(1, 3))
+        cutset = [names[i] for i in rng.choice(nv, n_cut, replace=False)]
+        ce = CutsetEngine(factors, sizes, values, cutset=cutset)
+
+        B = 3
+        masks = {}
+        ev_vars = [names[i] for i in rng.choice(nv, 2, replace=False)]
+        for v in ev_vars:
+            if rng.random() < 0.5:  # hard
+                m = np.zeros((B, sizes[v]), dtype=np.float32)
+                m[np.arange(B), rng.integers(0, sizes[v], B)] = 1.0
+            else:  # soft likelihood
+                m = rng.random((B, sizes[v])).astype(np.float32) + 0.1
+            masks[v] = m
+
+        posts, logz = ce.posterior_batch(masks)
+        # oracle per batch row: soft masks become extra unary factors
+        for b in range(B):
+            bf = [list(f) for f in factors] + [[v] for v in masks]
+            bv = list(values) + [
+                np.asarray(masks[v][b], dtype=np.float64) for v in masks
+            ]
+            outs = [[v] for v in names] + [[]]
+            *margs, Z = brute_force_marginals(bf, sizes, bv, outs)
+            np.testing.assert_allclose(
+                float(logz[b]), np.log(Z), rtol=1e-4,
+                err_msg=f"trial {trial} row {b} logZ",
+            )
+            for v, m in zip(names, margs):
+                np.testing.assert_allclose(
+                    np.asarray(posts[v])[b], m / m.sum(),
+                    rtol=2e-4, atol=1e-6,
+                    err_msg=f"trial {trial} row {b} var {v}",
+                )
+
+        # MPE parity on hard-evidence rows only (soft masks reweight)
+        hard_ev = {
+            v: int(np.argmax(masks[v][0]))
+            for v in masks if set(np.unique(masks[v][0])) <= {0.0, 1.0}
+        }
+        got, score = ce.map_assignment(hard_ev)
+        want, want_score = _enum_mpe(
+            factors, sizes, values, hard_ev
+        )
+        np.testing.assert_allclose(
+            score, want_score, rtol=1e-4,
+            err_msg=f"trial {trial} MPE score",
+        )
+
+
 def test_cutset_engine_hailfinder_class():
     """End-to-end on the dense BN class: small reduced cliques, finite
     logZ, normalized posteriors for every variable incl. the cutset."""

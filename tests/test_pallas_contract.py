@@ -28,6 +28,40 @@ def test_kernel_matches_reference(R1, R2, C, B):
     )
 
 
+@pytest.mark.parametrize("R1,R2,C,B", [(4, 8, 3, 5), (8, 128, 128, 256)])
+def test_kernel_bf16_inputs_f32_accumulation(R1, R2, C, B):
+    """bf16 storage inputs stream through the kernel at 2 bytes/element;
+    the output is f32 and matches the f32 reference within bf16 tolerance."""
+    rng = np.random.default_rng(R1 + R2 + C + B + 1)
+    pot32 = jnp.asarray(rng.random((R1, R2, C)), dtype=jnp.float32)
+    w132 = jnp.asarray(rng.random((B, R1)), dtype=jnp.float32)
+    w232 = jnp.asarray(rng.random((B, R2)), dtype=jnp.float32)
+    got = factored_masked_contract(
+        pot32.astype(jnp.bfloat16), w132.astype(jnp.bfloat16),
+        w232.astype(jnp.bfloat16), interpret=True,
+    )
+    assert got.dtype == jnp.float32
+    want = reference_factored_contract(pot32, w132, w232)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-2, atol=1e-3
+    )
+
+
+def test_plan_tiles_bf16_itemsize():
+    """2-byte inputs double the VMEM headroom (bigger feasible tiles) and
+    keep Mosaic-legal (16, 128) alignment."""
+    from junctiontree_tpu.ops.pallas_contract import plan_tiles
+
+    f32 = plan_tiles(64, 512, 4096, 4096, itemsize=4)
+    b16 = plan_tiles(64, 512, 4096, 4096, itemsize=2)
+    assert b16 is not None
+    if f32 is not None:
+        assert b16["vmem_bytes"] <= f32["vmem_bytes"] * 2
+        assert (b16["TB"] * b16["TC"] >= f32["TB"] * f32["TC"])
+    assert b16["TB"] % 128 == 0 or b16["TB"] == b16["Bp"]
+    assert b16["TC"] % 16 == 0 or b16["TC"] == b16["Cp"]
+
+
 def test_build_weight_groups_balanced():
     rng = np.random.default_rng(0)
     masks = [jnp.asarray(rng.random((7, k)), dtype=jnp.float32) for k in (2, 3, 4, 2, 5)]
