@@ -753,6 +753,7 @@ def bench_scaling():
 
 
 CASES = {
+    "grid6_primary": bench_grid_primary,
     "grid8": bench_grid_8x8,
     "grid12": bench_grid_12x12,
     "chain": bench_chain,
@@ -846,6 +847,8 @@ def main():
         qps = bench_grid_primary()
         if not fast:
             for name in CASES:
+                if name == "grid6_primary":
+                    continue  # already ran as the headline above
                 if name in ISOLATED:
                     run_isolated(name)
                 else:
@@ -868,10 +871,23 @@ def _write_artifacts(json_all):
     paths = [os.path.join(REPO, "BENCH_all.json")]
     if json_all:
         paths.append(json_all)
+    # merge by metric name: a partial (--only) rerun refreshes its cases in
+    # BENCH_all.json without dropping the others (the shared dev chip has
+    # transient contention windows; degraded cases get rerun individually)
     for path in paths:
         try:
+            merged = {}
+            if path.endswith("BENCH_all.json"):
+                try:
+                    with open(path) as f:
+                        for r in json.load(f):
+                            merged[r.get("metric")] = r
+                except (OSError, ValueError):
+                    pass
+            for r in RESULTS:
+                merged[r.get("metric")] = r
             with open(path, "w") as f:
-                json.dump(RESULTS, f, indent=1)
+                json.dump(list(merged.values()), f, indent=1)
         except OSError as e:
             log(f"# could not write {path}: {e}")
 

@@ -125,11 +125,16 @@ class CutsetEngine:
         cutset: Optional[Sequence[Hashable]] = None,
         target_states: int = 1 << 16,
         max_enum: int = 4096,
-        state_chunk: int = 32,
+        state_chunk: Optional[int] = None,
+        chunk_budget_bytes: int = 8 << 30,
     ):
         import jax
 
-        self._state_chunk = int(state_chunk)
+        # None = auto-size per query batch: the chunked map materializes
+        # [chunk, B, max_clique_states] beliefs, so chunk is capped by the
+        # HBM budget (fixed chunks OOM at large B on wide reduced models)
+        self._state_chunk = None if state_chunk is None else int(state_chunk)
+        self._chunk_budget = int(chunk_budget_bytes)
 
         if cutset is None:
             cutset = choose_cutset(
@@ -205,6 +210,16 @@ class CutsetEngine:
         st["cutset_states"] = self.num_states
         return st
 
+    def _chunk_for(self, B: int) -> int:
+        """Cutset-axis chunk size for the lax.map programs.  Auto mode caps
+        [chunk, B, max_clique_states] working buffers at the HBM budget."""
+        if self._state_chunk is not None:
+            return max(1, min(self.num_states, self._state_chunk))
+        states = max(1, self.plan.stats()["max_clique_states"])
+        live = 2  # XLA keeps ~two clique-sized buffers live per map step
+        fit = self._chunk_budget // (4 * max(B, 1) * states * live)
+        return max(1, min(self.num_states, int(fit), 256))
+
     def posterior_batch(self, mask_batch: Dict[Hashable, np.ndarray]):
         import jax
         import jax.numpy as jnp
@@ -256,7 +271,8 @@ class CutsetEngine:
             )  # [S]
             logw = logw + lm[:, sel].T  # [S, B]
 
-        key = (tuple(range(plan.num_vars)),)
+        chunk = self._chunk_for(B)
+        key = ("posterior", chunk)
         fn = self._prog_cache.get(key)
         if fn is None:
             from functools import partial
@@ -266,8 +282,8 @@ class CutsetEngine:
             # CHUNKED (lax.map batch_size) — a full vmap over S would
             # materialize [S, B, clique_states] beliefs (12.7 GB on
             # hailfinder-class at S=432, B=256); per chunk it's bounded
+            # (chunk auto-sized from the HBM budget, _chunk_for)
             inner = jax.vmap(single, in_axes=(None, 0))
-            chunk = max(1, min(self.num_states, self._state_chunk))
 
             def prog(pots, masks, logw, onehots):
                 margs, z = jax.lax.map(
@@ -368,11 +384,11 @@ class CutsetEngine:
         plan = self.plan
         logmasks, logw, B = self._log_masks_and_weights(mask_batch)
 
-        key = ("map", tuple(range(plan.num_vars)))
+        chunk = self._chunk_for(B)
+        key = ("map", chunk)
         fn = self._prog_cache.get(key)
         if fn is None:
             prog = tree_map_program(plan, list(range(plan.num_vars)))
-            chunk = max(1, min(self.num_states, self._state_chunk))
 
             def mp(pots, masks, logw):
                 assign, score = jax.lax.map(
