@@ -25,6 +25,7 @@ from .api import CliqueGraph, FactorGraph, JunctionTree, create_junction_tree
 from .approx import LoopyEngine
 from .cutset import CutsetEngine, choose_cutset
 from .evidence import apply_evidence, batch_masks, shrink_sizes
+from .structure import chow_liu
 from .executor import Engine, evidence_to_masks
 from .incremental import IncrementalSession
 from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SEMIRINGS, SUM_PRODUCT
@@ -42,6 +43,7 @@ __all__ = [
     "LoopyEngine",
     "CutsetEngine",
     "choose_cutset",
+    "chow_liu",
     "Plan",
     "compile_plan",
     "apply_evidence",
