@@ -30,6 +30,14 @@ from .executor import Engine, evidence_to_masks
 from .incremental import IncrementalSession
 from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SEMIRINGS, SUM_PRODUCT
 from .schedule import Plan, compile_plan
+from .surgery import (
+    add_factor,
+    change_root,
+    insert_sepset,
+    merge_plans,
+    merge_trees,
+    remove_factor,
+)
 
 __version__ = "0.5.0"
 
@@ -46,6 +54,12 @@ __all__ = [
     "chow_liu",
     "Plan",
     "compile_plan",
+    "add_factor",
+    "remove_factor",
+    "merge_plans",
+    "merge_trees",
+    "change_root",
+    "insert_sepset",
     "apply_evidence",
     "shrink_sizes",
     "batch_masks",

@@ -10,7 +10,8 @@ the new compiler:
   bf_traverse / df_traverse       -> bf_traverse / df_traverse
   get_clique                      -> get_clique
   generate_potential_pairs        -> generate_potential_pairs
-  merge_trees/change_root/...     -> reroot / build_junction_tree_from_edges
+  merge_trees/change_root/insert_sepset -> same names (surgery.py), plus
+                                     int-space reroot / build_junction_tree_from_edges
 
 All functions here accept/return *label-space* structures like the
 reference; the int-space primitives live in triangulate.py / treebuild.py."""
@@ -31,6 +32,7 @@ from .treebuild import (  # noqa: F401
     reroot,
 )
 from .triangulate import build_adjacency, min_fill_triangulation  # noqa: F401
+from .surgery import change_root, insert_sepset, merge_trees  # noqa: F401
 
 
 def find_triangulation(
