@@ -30,6 +30,7 @@ from typing import Dict, Hashable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .fused import _TINY
 from .ops.semirings import LOG_SUM_EXP
 from .schedule import compile_plan
 
@@ -166,22 +167,11 @@ class CutsetEngine:
         # stack per-assignment clique potentials (log space): [S, *shape]
         from .executor import evaluate_cliques_np
 
-        def reduce_values(assign_row) -> List[np.ndarray]:
-            out = []
-            for f, val in zip(self.factors, values):
-                val = np.asarray(val, dtype=np.float64)
-                idx = []
-                for v in f:
-                    if v in cset:
-                        idx.append(int(assign_row[self.cutset.index(v)]))
-                    else:
-                        idx.append(slice(None))
-                out.append(val[tuple(idx)])
-            return out
+        self._values = [np.asarray(v, dtype=np.float64) for v in values]
 
         stacks: List[List[np.ndarray]] = None
         for s in range(S):
-            vals = reduce_values(self._assignments[s])
+            vals = self._reduce_values(self._assignments[s])
             with np.errstate(divide="ignore"):
                 vals = [np.log(v) for v in vals]
             pots = evaluate_cliques_np(
@@ -204,6 +194,21 @@ class CutsetEngine:
 
         self._prog_cache: dict = {}
 
+    def _reduce_values(self, assign_row) -> List[np.ndarray]:
+        """Per-assignment reduced factor values: cutset axes indexed at the
+        assignment's states, other axes kept (linear space, float64)."""
+        cset = set(self.cutset)
+        out = []
+        for f, val in zip(self.factors, self._values):
+            idx = []
+            for v in f:
+                if v in cset:
+                    idx.append(int(assign_row[self.cutset.index(v)]))
+                else:
+                    idx.append(slice(None))
+            out.append(val[tuple(idx)])
+        return out
+
     def describe(self) -> dict:
         st = self.plan.stats()
         st["cutset"] = list(self.cutset)
@@ -220,7 +225,143 @@ class CutsetEngine:
         fit = self._chunk_budget // (4 * max(B, 1) * states * live)
         return max(1, min(self.num_states, int(fit), 256))
 
-    def posterior_batch(self, mask_batch: Dict[Hashable, np.ndarray]):
+    def _fused_routing(self) -> bool:
+        """True when the reduced model benefits from the level-fused program
+        (same criterion as Engine.posterior_batch auto-routing): many small
+        cliques whose level groups actually collapse the op count."""
+        st = self.plan.stats()
+        if st["num_cliques"] < 32 or st["max_clique_states"] > (1 << 13):
+            return False
+        from .fused import build_fused_schedule
+
+        if getattr(self, "_fused_sched", None) is None:
+            self._fused_sched = build_fused_schedule(self.plan)
+        n_groups = sum(len(gs) for gs in self._fused_sched[0].levels)
+        return n_groups * 2 <= st["num_cliques"]
+
+    def _fused_stacks(self):
+        """[S, G, *shape] LINEAR-space prestacked group potentials (the
+        fused program runs rescaled linear sum-product; per-clique factor
+        products are O(1)-scaled, so linear f32 storage is safe — the
+        dynamic range builds up only inside propagation, where the fused
+        program's per-message rescaling absorbs it)."""
+        if getattr(self, "_fused_pots", None) is None:
+            import jax
+
+            from .executor import evaluate_cliques_np
+            from .fused import stack_group_potentials
+            from .ops.semirings import SUM_PRODUCT
+
+            sched = self._fused_sched[0]
+            per_s = []
+            for s in range(self.num_states):
+                vals = self._reduce_values(self._assignments[s])
+                pots = evaluate_cliques_np(
+                    self.plan, vals, SUM_PRODUCT, dtype=np.float32
+                )
+                per_s.append(stack_group_potentials(sched, pots))
+            self._fused_pots = [
+                [
+                    jax.device_put(
+                        np.stack([per_s[s][d][gi] for s in range(self.num_states)])
+                    )
+                    for gi in range(len(per_s[0][d]))
+                ]
+                for d in range(len(per_s[0]))
+            ]
+        return self._fused_pots
+
+    def _posterior_batch_fused(self, mask_batch: Dict[Hashable, np.ndarray]):
+        """Stacked/fused cutset serving: the reduced model runs as ONE
+        level-fused program (O(levels x groups) ops, fused.py) vmapped over
+        cutset-assignment chunks — instead of O(reduced cliques) ops per
+        chunk step.  Exact same aggregation math as the unrolled path; the
+        per-assignment marginals come back normalized with a separate
+        logZ_s, so log-space mixing is unchanged."""
+        import jax
+        import jax.numpy as jnp
+
+        from .fused import build_fused_schedule, fused_posterior_program
+
+        if getattr(self, "_fused_sched", None) is None:
+            self._fused_sched = build_fused_schedule(self.plan)
+        plan = self.plan
+        cset = set(self.cutset)
+        red_ids = tuple(sorted(
+            plan.table.id_of(k) for k in mask_batch if k not in cset
+        ))
+        _, logw, B = self._log_masks_and_weights(mask_batch)
+        masks = [
+            jnp.asarray(
+                np.asarray(mask_batch[plan.table.label_of(v)], dtype=np.float32)
+            )
+            for v in red_ids
+        ]
+
+        chunk = self._chunk_for(B)
+        key = ("posterior_fused", chunk, red_ids)
+        fn = self._prog_cache.get(key)
+        if fn is None:
+            sched, sorted_children = self._fused_sched
+            prog = fused_posterior_program(sched, sorted_children, list(red_ids))
+            clique_pos = sched.clique_pos
+            cvars = plan.clique_vars
+            _NEG = -1e30
+
+            def agg(pots_stack, masks, logw, onehots):
+                marg, z = jax.lax.map(
+                    lambda p: prog(p, masks), pots_stack, batch_size=chunk
+                )  # dict of [S, B, G, size], z [S, B]
+                z = z + logw
+                logz = jax.nn.logsumexp(z, axis=0)                 # [B]
+                posts = []
+                for v in range(plan.num_vars):
+                    c = plan.var_to_clique[v]
+                    d, gi, slot = clique_pos[c]
+                    axis = cvars[c].index(v)
+                    m = marg[(d, gi, axis)][:, :, slot]            # [S, B, K]
+                    m = m / jnp.maximum(
+                        jnp.sum(m, axis=-1, keepdims=True), _TINY
+                    )
+                    lp = jnp.where(m > 0, jnp.log(jnp.maximum(m, _TINY)), _NEG)
+                    lp = lp + z[:, :, None]
+                    lp = jax.nn.logsumexp(lp, axis=0)              # [B, K]
+                    posts.append(jnp.exp(
+                        lp - jax.nn.logsumexp(lp, axis=-1, keepdims=True)
+                    ))
+                cut_posts = []
+                for oh in onehots:                                  # [S, card]
+                    m2 = z[:, :, None] + oh[:, None, :]
+                    m2 = jax.nn.logsumexp(m2, axis=0)
+                    cut_posts.append(jnp.exp(
+                        m2 - jax.nn.logsumexp(m2, axis=-1, keepdims=True)
+                    ))
+                return posts, cut_posts, logz
+
+            fn = jax.jit(agg)
+            self._prog_cache[key] = fn
+
+        onehots = [self._onehot[v] for v in self.cutset]
+        posts, cut_posts, logz = fn(self._fused_stacks(), masks, logw, onehots)
+        out = {
+            plan.table.label_of(v): posts[v] for v in range(plan.num_vars)
+        }
+        for v, m in zip(self.cutset, cut_posts):
+            out[v] = m
+        return out, logz
+
+    def posterior_batch(
+        self, mask_batch: Dict[Hashable, np.ndarray], mode: str = "auto"
+    ):
+        """Batched posteriors + logZ over (S cutset assignments x B queries).
+
+        mode: "auto" picks the stacked level-fused reduced program when the
+        reduced model's level groups collapse its op count (regular models
+        with many small cliques — exactly the shape cutset conditioning
+        produces), else the unrolled per-clique program; "fused" /
+        "general" force a path."""
+        if mode == "fused" or (mode == "auto" and self._fused_routing()):
+            return self._posterior_batch_fused(mask_batch)
         import jax
         import jax.numpy as jnp
 

@@ -239,3 +239,92 @@ def test_cutset_engine_hailfinder_class():
         np.testing.assert_allclose(
             np.asarray(got[v])[np.arange(B), state], 1.0, atol=1e-4
         )
+
+
+def test_cutset_fused_mode_matches_unrolled_and_monolithic():
+    """The stacked level-fused reduced program (posterior_batch mode='fused')
+    must agree with the unrolled path and the monolithic engine, including
+    evidence on a cutset variable and soft evidence."""
+    factors, sizes, values = grid_mrf_model(4, 4, seed=3)
+    names = list(sizes)
+    plan = jt.compile_plan(factors, sizes)
+    B = 4
+    evs = random_evidence_batch(plan, B, names[:2], seed=7)
+    masks = batch_masks_sparse(plan, evs)
+    # soft evidence + evidence on a cutset var
+    cut = [names[0], names[5]]
+    masks[cut[1]] = (
+        np.random.default_rng(1).random((B, sizes[cut[1]])).astype(np.float32)
+        + 0.1
+    )
+    ce = CutsetEngine(factors, sizes, values, cutset=cut)
+    pf, zf = ce.posterior_batch(masks, mode="fused")
+    pu, zu = ce.posterior_batch(masks, mode="general")
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zu), rtol=1e-4)
+    for v in sizes:
+        np.testing.assert_allclose(
+            np.asarray(pf[v]), np.asarray(pu[v]), rtol=1e-4, atol=1e-6
+        )
+    want, logz_w = _monolithic_posts(factors, sizes, values, masks)
+    np.testing.assert_allclose(np.asarray(zf), logz_w, rtol=1e-4)
+    for v in sizes:
+        np.testing.assert_allclose(
+            np.asarray(pf[v]), want[v], rtol=1e-4, atol=1e-6
+        )
+
+
+def test_cutset_fused_evidence_only_on_cutset():
+    factors, sizes, values = grid_mrf_model(3, 3, seed=6)
+    names = list(sizes)
+    cut = names[4]
+    B = 3
+    m = np.zeros((B, sizes[cut]), dtype=np.float32)
+    m[:, 1] = 1.0
+    masks = {cut: m}
+    ce = CutsetEngine(factors, sizes, values, cutset=[cut])
+    pf, zf = ce.posterior_batch(masks, mode="fused")
+    pu, zu = ce.posterior_batch(masks, mode="general")
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zu), rtol=1e-4)
+    for v in sizes:
+        np.testing.assert_allclose(
+            np.asarray(pf[v]), np.asarray(pu[v]), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_cutset_fused_auto_routing():
+    """Auto mode engages the stacked fused program only where level groups
+    actually collapse the op count: a regular reduced model (star under a
+    shared conditioning variable -> identical leaf cliques) routes fused;
+    the irregular hailfinder-class reduced model (42 groups / 43 cliques —
+    structure diversity, the padded-grouping negative result) declines."""
+    # regular: v -> hub -> 40 identical leaves; cutting v leaves a star
+    n_leaves = 40
+    sizes = {"v": 3, "hub": 2}
+    factors = []
+    for i in range(n_leaves):
+        leaf = f"leaf{i}"
+        sizes[leaf] = 2
+        factors.append(["v", "hub", leaf])
+    rng = np.random.default_rng(11)
+    values = [
+        rng.random((3, 2, 2)).astype(np.float64) + 0.05 for _ in factors
+    ]
+    ce = CutsetEngine(factors, sizes, values, cutset=["v"])
+    assert ce.num_states == 3
+    assert ce._fused_routing()
+    B = 3
+    masks = {"leaf0": np.tile(
+        np.array([[1.0, 0.0]], dtype=np.float32), (B, 1)
+    )}
+    pf, zf = ce.posterior_batch(masks)           # auto -> fused
+    pu, zu = ce.posterior_batch(masks, mode="general")
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zu), rtol=1e-4)
+    for v in sizes:
+        np.testing.assert_allclose(
+            np.asarray(pf[v]), np.asarray(pu[v]), rtol=1e-4, atol=1e-5
+        )
+
+    # irregular: the dense-BN reduced model's groups don't collapse
+    hf, hs, hv = hailfinder_like()
+    hce = CutsetEngine(hf, hs, hv, target_states=1 << 14, max_enum=512)
+    assert not hce._fused_routing()
