@@ -224,19 +224,43 @@ def remove_factor(plan: Plan, factor_ix: int) -> Plan:
     )
 
 
-def merge_plans(p1: Plan, p2: Plan) -> Plan:
-    """Merge two compiled plans over DISJOINT variable sets into one forest
-    plan, joining the trees with an empty separator (the reference's
-    disconnected-component join, construction.py:530) — no retriangulation.
+def merge_plans(p1: Plan, p2: Plan, on_shared: str = "error") -> Plan:
+    """Merge two compiled plans into one.
 
-    Factor order is ``p1.factors ++ p2.factors``; logZ of the merged model is
-    the sum of the two models' logZs, and every marginal is unchanged (the
-    components share no variables, tested in tests/test_surgery.py)."""
+    Disjoint variable sets (the fast path): one forest plan, trees joined by
+    an empty separator (the reference's disconnected-component join,
+    construction.py:530) — no retriangulation.  Factor order is
+    ``p1.factors ++ p2.factors``; logZ of the merged model is the sum of the
+    two models' logZs, and every marginal is unchanged (tested in
+    tests/test_surgery.py).
+
+    Overlapping variable sets genuinely couple the models, so no junction
+    tree of the union can be assembled from the two old trees in general;
+    ``on_shared="rebuild"`` recompiles the concatenated factor list (shared
+    labels must agree on cardinality), ``"error"`` (default) raises."""
     shared = set(p1.table.labels) & set(p2.table.labels)
     if shared:
-        raise ValueError(
-            "merge_plans requires disjoint variable sets; shared: %r"
-            % (sorted(shared, key=repr)[:5],)
+        if on_shared != "rebuild":
+            raise ValueError(
+                "merge_plans requires disjoint variable sets unless "
+                "on_shared='rebuild'; shared: %r"
+                % (sorted(shared, key=repr)[:5],)
+            )
+        sizes: Dict[Hashable, int] = {
+            p1.table.label_of(v): p1.sizes[v] for v in range(p1.num_vars)
+        }
+        for v in range(p2.num_vars):
+            lab = p2.table.label_of(v)
+            if lab in sizes and sizes[lab] != p2.sizes[v]:
+                raise ValueError(
+                    "shared variable %r has cardinality %d in p1 but %d "
+                    "in p2" % (lab, sizes[lab], p2.sizes[v])
+                )
+            sizes.setdefault(lab, p2.sizes[v])
+        return compile_plan(
+            [p1.table.labels_of(f) for f in p1.factors]
+            + [p2.table.labels_of(f) for f in p2.factors],
+            sizes,
         )
     table = LabelTable()
     for x in p1.table.labels:

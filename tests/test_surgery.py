@@ -258,3 +258,32 @@ def test_junction_tree_surgery_api():
     marg3 = shrunk.propagate(values)
     for got, exp in zip(marg3, tree.propagate(values)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-6)
+
+
+def test_merge_plans_shared_vars_rebuild():
+    """Overlapping models merge via recompilation: the union model's
+    marginals match the brute-force oracle over the concatenated factors."""
+    f1 = [["a", "b"], ["b", "c"]]
+    s1 = {"a": 2, "b": 3, "c": 2}
+    f2 = [["b", "d"], ["d", "e"]]
+    s2 = {"b": 3, "d": 2, "e": 2}
+    p1 = jt.compile_plan(f1, s1)
+    p2 = jt.compile_plan(f2, s2)
+    merged = merge_plans(p1, p2, on_shared="rebuild")
+    check_running_intersection(merged)
+
+    rng = np.random.default_rng(13)
+    v1 = [rng.random(tuple(s1[v] for v in f)) + 0.1 for f in f1]
+    v2 = [rng.random(tuple(s2[v] for v in f)) + 0.1 for f in f2]
+    eng = jt.Engine(merged).set_potentials(v1 + v2)
+    marg = eng.propagate(v1 + v2)
+    expect = brute_force_marginals(
+        f1 + f2, dict(s1, **s2), v1 + v2, f1 + f2
+    )
+    for got, exp in zip(marg, expect):
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-6)
+
+    # cardinality conflict on a shared label is refused
+    p3 = jt.compile_plan([["b", "z"]], {"b": 4, "z": 2})
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_plans(p1, p3, on_shared="rebuild")
