@@ -83,7 +83,19 @@ def main():
     post, p_ev = eng.query({"g0_0": 1, "m_g2_2": 0})
     print(f"one engine serves both components; P(evidence) = {p_ev:.4g}")
 
-    # 5. the reference's nested-list surgery still exists for tree tinkering
+    # 5. serving-side: bake a covered factor into a LIVE engine — zero
+    #    recompilation, every cached compiled program keeps serving
+    eng = tree.engine().set_potentials(values)
+    post_before, _ = eng.query({"g0_0": 1})     # warms the compiled program
+    eng.multiply_factor(scope, coupling)
+    post_after, _ = eng.query({"g0_0": 1})      # same program, new numbers
+    moved = float(np.max(np.abs(
+        np.asarray(post_after[1]) - np.asarray(post_before[1])
+    )))
+    print(f"live multiply_factor shifted posteriors by up to {moved:.3f} "
+          f"with no recompile")
+
+    # 6. the reference's nested-list surgery still exists for tree tinkering
     nested = tree.tree
     rerooted = jt.change_root(nested, 5)
     print(f"nested-list change_root: root {nested[0]} -> {rerooted[0]}")

@@ -895,6 +895,73 @@ class Engine:
             raise RuntimeError("call set_potentials(values) before querying")
         return self._pots_np
 
+    def multiply_factor(self, scope, value) -> "Engine":
+        """Bake a new factor into the standing potentials of a LIVE engine
+        with zero recompilation (the serving-side face of covered
+        ``surgery.add_factor``): ``scope`` must be covered by an existing
+        clique, so every potential keeps its shape and every cached compiled
+        program stays valid — only the clique's numbers change.
+
+        ``value`` is a linear-space array shaped like ``scope`` (reference
+        convention; converted to the engine's semiring space internally).
+        The factor is multiplied into the smallest containing clique's
+        potential; subsequent ``query``/``posterior_batch``/MAP calls see
+        the updated model immediately.  Note this edits the *potentials*,
+        not the factor list — ``propagate(values)`` still expects the
+        original factors (use ``surgery.add_factor`` + a new Engine for
+        that path).  Raises ValueError for uncovered scopes."""
+        plan = self.plan
+        pots = list(self._require_pots_np())
+        labels = list(scope)
+        unknown = [v for v in labels if v not in plan.table]
+        if unknown:
+            raise ValueError(
+                "multiply_factor scope has unknown variables %r" % (unknown,)
+            )
+        ids = [plan.table.id_of(v) for v in labels]
+        idset = set(ids)
+        val = np.asarray(value, dtype=np.float64)
+        if val.shape != tuple(plan.sizes[v] for v in ids):
+            raise ValueError(
+                "value shape %r does not match scope %r sizes %r"
+                % (val.shape, labels, tuple(plan.sizes[v] for v in ids))
+            )
+        ci, ci_states = -1, None
+        for c, cv in enumerate(plan.tri.maxcliques):
+            if idset <= set(cv):
+                states = 1
+                for v in cv:
+                    states *= plan.sizes[v]
+                if ci_states is None or states < ci_states:
+                    ci, ci_states = c, states
+        if ci < 0:  # empty scopes always match (smallest clique)
+            raise ValueError(
+                "scope %r is not covered by any clique; rebuild via "
+                "surgery.add_factor instead" % (labels,)
+            )
+        cv = plan.tri.maxcliques[ci]
+        # broadcast value into the clique's axis order
+        order = sorted(range(len(ids)), key=lambda i: cv.index(ids[i]))
+        val_t = np.transpose(val, order) if ids else val
+        bshape = tuple(
+            plan.sizes[v] if v in idset else 1 for v in cv
+        )
+        val_b = val_t.reshape(bshape)
+        if self.semiring.is_log:
+            with np.errstate(divide="ignore"):
+                pots[ci] = pots[ci] + np.log(val_b)
+        else:
+            pots[ci] = pots[ci] * val_b
+        self._pots_np = pots
+        self._pots = self._device_put_pots(pots)
+        # derived prestacked artifacts must be rebuilt from the new numbers;
+        # compiled programs stay cached (identical shapes and schedule)
+        self._chain_A = None
+        self._fused_stack = None
+        self._max_engine = None
+        self._pots_prog = None
+        return self
+
     # -- checkpoint/resume of the full serving state (SURVEY.md §5: the
     # reference has nothing serializable at all; Plan.to_json covers the
     # compile artifact, this adds the evaluated potentials + semiring so a

@@ -287,3 +287,81 @@ def test_merge_plans_shared_vars_rebuild():
     p3 = jt.compile_plan([["b", "z"]], {"b": 4, "z": 2})
     with pytest.raises(ValueError, match="cardinality"):
         merge_plans(p1, p3, on_shared="rebuild")
+
+
+# ---------- Engine.multiply_factor (live serving-side update) ----------
+
+def test_engine_multiply_factor_matches_rebuilt_engine():
+    """Baking a covered factor into a live engine's potentials must answer
+    queries identically to a from-scratch engine on the grown model —
+    without invalidating any cached compiled program."""
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+
+    factors, sizes, values = grid_mrf_model(3, 3, seed=8)
+    plan = jt.compile_plan(factors, sizes)
+    cv = next(c for c in plan.tri.maxcliques if len(c) >= 2)
+    scope = [plan.table.label_of(cv[1]), plan.table.label_of(cv[0])]  # unsorted
+    rng = np.random.default_rng(21)
+    val = rng.random((sizes[scope[0]], sizes[scope[1]])) + 0.1
+
+    eng = jt.Engine(plan).set_potentials(values)
+    evs = random_evidence_batch(plan, 4, list(sizes)[:2], seed=3)
+    masks = batch_masks_sparse(plan, evs)
+    # warm a compiled program BEFORE the update, then verify it serves the
+    # NEW numbers afterwards (program reuse is the point of this API)
+    eng.posterior_batch(masks)
+    n_progs = len(eng._batched_cache)
+    eng.multiply_factor(scope, val)
+    post, logz = eng.posterior_batch(masks)
+    assert len(eng._batched_cache) == n_progs  # no recompile
+
+    plan2, covered = add_factor(plan, scope)
+    assert covered
+    eng2 = jt.Engine(plan2).set_potentials(list(values) + [val])
+    post2, logz2 = eng2.posterior_batch(masks)
+    np.testing.assert_allclose(np.asarray(logz), np.asarray(logz2), rtol=1e-6)
+    for a, b in zip(post, post2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9
+        )
+
+
+def test_engine_multiply_factor_log_engine_and_errors():
+    factors, sizes, values = grid_mrf_model(2, 2, seed=0)
+    plan = jt.compile_plan(factors, sizes)
+    eng = jt.Engine(plan, jt.LOG_SUM_EXP).set_potentials(values)
+    cv = plan.tri.maxcliques[0]
+    scope = [plan.table.label_of(cv[0])]
+    val = np.array([2.0, 0.5])
+    eng.multiply_factor(scope, val)
+    post, logz = eng.query({})
+    # oracle on the grown model
+    expect = brute_force_marginals(
+        list(factors) + [scope], sizes, list(values) + [val],
+        [[plan.table.label_of(v)] for v in range(plan.num_vars)],
+    )
+    for v in range(plan.num_vars):
+        np.testing.assert_allclose(
+            np.asarray(post[v]), expect[v] / expect[v].sum(), rtol=1e-6
+        )
+
+    import itertools
+
+    fg, sg, vg = grid_mrf_model(3, 3, seed=1)
+    pg = jt.compile_plan(fg, sg)
+    enough = jt.Engine(pg).set_potentials(vg)
+    a, b = next(
+        (a, b)
+        for a, b in itertools.combinations(range(pg.num_vars), 2)
+        if not any({a, b} <= set(c) for c in pg.tri.maxcliques)
+    )
+    with pytest.raises(ValueError, match="not covered"):
+        enough.multiply_factor(
+            [pg.table.label_of(a), pg.table.label_of(b)], np.ones((2, 2))
+        )
+
+    with pytest.raises(ValueError, match="unknown"):
+        eng.multiply_factor(["nope"], val)
+
+    with pytest.raises(ValueError, match="shape"):
+        eng.multiply_factor(scope, np.ones(3))
