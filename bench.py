@@ -556,6 +556,47 @@ def bench_cutset(batch=1024):
            reduced_max_clique_states=st["max_clique_states"])
 
 
+def bench_cutset_fused(batch=4096):
+    """Stacked level-fused cutset serving vs the unrolled chunked map on a
+    REGULAR reduced model (star of identical leaf cliques under a shared
+    conditioning variable — the most fused-favorable shape).  Measured
+    0.96x on v5e, which is why auto mode never picks fused (the map is not
+    dispatch-bound); recorded as the negative-result anchor, see STATUS."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from junctiontree_tpu.cutset import CutsetEngine
+
+    n_leaves = 64
+    sizes = {"v": 8, "hub": 2}
+    factors, values = [], []
+    rng = np.random.default_rng(0)
+    for i in range(n_leaves):
+        leaf = f"leaf{i}"
+        sizes[leaf] = 2
+        factors.append(["v", "hub", leaf])
+        values.append(rng.random((8, 2, 2)) + 0.05)
+    eng = CutsetEngine(factors, sizes, values, cutset=["v"])
+    assert eng._fused_routing(), "expected the star model to route fused"
+    m = np.zeros((batch, 2), dtype=np.float32)
+    m[: batch // 2, 0] = 1.0
+    m[batch // 2:, 1] = 1.0
+    masks = {"leaf0": jnp.asarray(m)}
+    times = {}
+    for mode in ("general", "fused"):
+        dt, ct = steady(
+            partial(eng.posterior_batch, mode=mode), masks, iters=10
+        )
+        times[mode] = dt
+        log(f"# cutset star (64 leaves, S=8) B={batch} mode={mode}: "
+            f"{dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  (compile {ct:.1f}s)")
+    record("cutset fused-vs-unrolled, regular star model",
+           round(times["general"] / times["fused"], 3), "x speedup",
+           batch=batch, fused_ms=round(times["fused"] * 1e3, 3),
+           unrolled_ms=round(times["general"] * 1e3, 3))
+
+
 def bench_uai_serving(batch=10240):
     """UAI-format network served with 10k-way batched evidence through the
     file -> parse -> engine path (BASELINE.json: 'UAI-competition networks
@@ -764,6 +805,7 @@ CASES = {
     "classic_bns": bench_classic_bns,
     "bf16": bench_bf16,
     "cutset": bench_cutset,
+    "cutset_fused": bench_cutset_fused,
     "uai": bench_uai_serving,
     "tree_map": bench_tree_map,
     "incremental": bench_incremental,

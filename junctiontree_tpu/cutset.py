@@ -226,9 +226,14 @@ class CutsetEngine:
         return max(1, min(self.num_states, int(fit), 256))
 
     def _fused_routing(self) -> bool:
-        """True when the reduced model benefits from the level-fused program
-        (same criterion as Engine.posterior_batch auto-routing): many small
-        cliques whose level groups actually collapse the op count."""
+        """Structural check: the reduced model's level groups collapse its
+        op count (many small cliques, regular shapes).  NOT used for auto
+        routing — measured on TPU v5e, the stacked fused program is 0.96x
+        the unrolled chunked map even on a maximally regular star model
+        (BENCH 'cutset fused-vs-unrolled'; the map is not dispatch-bound
+        there), and cutset reduction destroys regularity on real dense
+        models anyway (hailfinder-class: 42 groups / 43 cliques).  The
+        fused path stays available via posterior_batch(mode='fused')."""
         st = self.plan.stats()
         if st["num_cliques"] < 32 or st["max_clique_states"] > (1 << 13):
             return False
@@ -355,12 +360,11 @@ class CutsetEngine:
     ):
         """Batched posteriors + logZ over (S cutset assignments x B queries).
 
-        mode: "auto" picks the stacked level-fused reduced program when the
-        reduced model's level groups collapse its op count (regular models
-        with many small cliques — exactly the shape cutset conditioning
-        produces), else the unrolled per-clique program; "fused" /
-        "general" force a path."""
-        if mode == "fused" or (mode == "auto" and self._fused_routing()):
+        mode: "auto" runs the unrolled per-clique chunked program —
+        measured best on TPU v5e even where the reduced model is regular
+        (see _fused_routing); "fused" forces the stacked level-fused
+        reduced program (O(levels x groups) ops)."""
+        if mode == "fused":
             return self._posterior_batch_fused(mask_batch)
         import jax
         import jax.numpy as jnp

@@ -291,12 +291,13 @@ def test_cutset_fused_evidence_only_on_cutset():
         )
 
 
-def test_cutset_fused_auto_routing():
-    """Auto mode engages the stacked fused program only where level groups
-    actually collapse the op count: a regular reduced model (star under a
-    shared conditioning variable -> identical leaf cliques) routes fused;
-    the irregular hailfinder-class reduced model (42 groups / 43 cliques —
-    structure diversity, the padded-grouping negative result) declines."""
+def test_cutset_fused_structural_check_and_parity():
+    """_fused_routing is the structural check (level groups collapse on a
+    regular star; NOT on the irregular hailfinder-class reduced model —
+    42 groups / 43 cliques, structure diversity).  Auto mode always runs
+    the unrolled program (the fused variant measured 0.96x on TPU v5e even
+    on the star — see bench 'cutset fused-vs-unrolled'); forced fused mode
+    stays exact."""
     # regular: v -> hub -> 40 identical leaves; cutting v leaves a star
     n_leaves = 40
     sizes = {"v": 3, "hub": 2}
@@ -316,8 +317,8 @@ def test_cutset_fused_auto_routing():
     masks = {"leaf0": np.tile(
         np.array([[1.0, 0.0]], dtype=np.float32), (B, 1)
     )}
-    pf, zf = ce.posterior_batch(masks)           # auto -> fused
-    pu, zu = ce.posterior_batch(masks, mode="general")
+    pf, zf = ce.posterior_batch(masks, mode="fused")
+    pu, zu = ce.posterior_batch(masks)           # auto = unrolled
     np.testing.assert_allclose(np.asarray(zf), np.asarray(zu), rtol=1e-4)
     for v in sizes:
         np.testing.assert_allclose(

@@ -1,4 +1,4 @@
-"""Incremental tree surgery (surgery.py).
+"""Incremental tree surgery (surgery.py) + live engine updates.
 
 Covers the role of the reference's merge_trees/change_root/insert_sepset
 surgery tests (/root/reference/tests/test_construction.py:440-798) at both
