@@ -28,6 +28,7 @@ from .evidence import apply_evidence, batch_masks, shrink_sizes
 from .structure import chow_liu
 from .executor import Engine, evidence_to_masks
 from .incremental import IncrementalSession
+from .mmap import MarginalMapSolver, marginal_map
 from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SEMIRINGS, SUM_PRODUCT
 from .schedule import Plan, compile_plan
 from .surgery import (
@@ -60,6 +61,8 @@ __all__ = [
     "merge_trees",
     "change_root",
     "insert_sepset",
+    "MarginalMapSolver",
+    "marginal_map",
     "apply_evidence",
     "shrink_sizes",
     "batch_masks",
