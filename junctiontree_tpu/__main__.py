@@ -27,8 +27,14 @@ def main(argv=None) -> int:
     ap.add_argument("model", help="UAI model file (MARKOV or BAYES)")
     ap.add_argument("--evidence", help="UAI .evid evidence file")
     ap.add_argument(
-        "--task", default="MAR", choices=["MAR", "MPE", "PR"],
-        help="MAR: marginals, MPE: most probable assignment, PR: log10 Z",
+        "--task", default="MAR", choices=["MAR", "MPE", "PR", "MMAP"],
+        help="MAR: marginals, MPE: most probable assignment, PR: log10 Z, "
+        "MMAP: marginal MAP over the --query variables (exact, constrained "
+        "elimination; see mmap.py)",
+    )
+    ap.add_argument(
+        "--query",
+        help="UAI .query file (MMAP query-variable set: '<n> var var ...')",
     )
     ap.add_argument("--stats", action="store_true", help="print compile stats")
     ap.add_argument("--out", help="write result to file instead of stdout")
@@ -54,6 +60,9 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     factors, sizes, values = load_uai(args.model)
     evidence = load_evidence(args.evidence) if args.evidence else {}
+
+    if args.task == "MMAP":
+        return _run_mmap(args, factors, sizes, values, evidence)
 
     use_loopy = args.engine == "loopy"
     use_cutset = args.engine == "cutset"
@@ -154,6 +163,40 @@ def _emit(text: str, out) -> None:
             f.write(text)
     else:
         sys.stdout.write(text)
+
+
+def _run_mmap(args, factors, sizes, values, evidence) -> int:
+    """Exact Marginal MAP over the --query variables (mmap.py: constrained
+    sum-before-max bucket elimination; the UAI MMAP task)."""
+    from junctiontree_tpu.mmap import MarginalMapSolver
+    from junctiontree_tpu.utils.uai import load_query
+
+    if not args.query:
+        print("MMAP requires --query Q.query (variable-set file)",
+              file=sys.stderr)
+        return 2
+    query = load_query(args.query)
+    used = {v for f in factors for v in f}
+    model_query = [q for q in query if q in used]
+    model_evidence = {k: v for k, v in evidence.items() if k in used}
+    solver = MarginalMapSolver(factors, sizes, model_query)
+    if args.stats:
+        print("# mmap constrained induced width: %d"
+              % solver.constrained_width, file=sys.stderr)
+    solver.set_potentials(values)
+    assign, score = solver.query(model_evidence)
+    print("# log mmap value = %.6f" % score, file=sys.stderr)
+    # free query vars (in no factor scope) are uniform: state 0, or the
+    # evidenced state when observed
+    full = {q: assign.get(q, evidence.get(q, 0)) for q in query}
+    lines = [
+        "MMAP",
+        str(len(query)) + " " + " ".join(
+            f"{q} {full[q]}" for q in query
+        ),
+    ]
+    _emit("\n".join(lines) + "\n", args.out)
+    return 0
 
 
 def _run_cutset(args, factors, sizes, values, evidence) -> int:

@@ -83,6 +83,22 @@ def load_evidence(path: str) -> Dict[int, int]:
         return parse_evidence(f.read())
 
 
+def parse_query(text: str):
+    """Parse a UAI .query file (MMAP query-variable set): '<n> var var ...'."""
+    tokens = [int(t) for t in text.split()]
+    if not tokens:
+        return []
+    n = tokens[0]
+    if len(tokens) < 1 + n:
+        raise ValueError("truncated query file")
+    return tokens[1:1 + n]
+
+
+def load_query(path: str):
+    with open(path) as f:
+        return parse_query(f.read())
+
+
 def write_uai(factors, sizes, values) -> str:
     """Serialize a factor graph to UAI MARKOV text (inverse of parse_uai);
     variable labels must be the ints 0..n-1."""

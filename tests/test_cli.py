@@ -161,3 +161,30 @@ def test_cli_loopy_engine(uai_files):
     toks = r.stdout.splitlines()[1].split()
     assert int(toks[0]) == len(s)
     assert all(0 <= int(x) < 2 for x in toks[1:])
+
+
+def test_cli_mmap(uai_files, tmp_path):
+    """MMAP task: query file in, 'MMAP' + (var, state) pairs out, matching
+    the brute-force marginal table over the query variables."""
+    model, evid, f, s, v = uai_files
+    q = tmp_path / "m.query"
+    q.write_text("2 0 3\n")
+    r = run_cli(str(model), "--task", "MMAP", "--query", str(q),
+                "--evidence", str(evid), "--stats")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "MMAP"
+    toks = lines[1].split()
+    assert int(toks[0]) == 2
+    got = {int(toks[1 + 2 * i]): int(toks[2 + 2 * i]) for i in range(2)}
+    marg = brute_force_marginals(f, s, v, [[0, 3]], {0: 1})[0]
+    assert marg[got[0], got[3]] == pytest.approx(marg.max(), rel=1e-6)
+    assert "log mmap value" in r.stderr
+    assert "constrained induced width" in r.stderr
+
+
+def test_cli_mmap_requires_query(uai_files):
+    model, evid, f, s, v = uai_files
+    r = run_cli(str(model), "--task", "MMAP")
+    assert r.returncode == 2
+    assert "--query" in r.stderr
