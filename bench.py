@@ -280,6 +280,34 @@ def bench_tree_map(batch=2048):
            batch=batch, step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
 
 
+def bench_mmap(batch=2048):
+    """Batched exact Marginal MAP (mmap.py): 6x6 grid, 6 MAP vars, evidence
+    masks batched — one compiled mixed logsumexp/max program per batch."""
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.models import grid_mrf_model
+
+    factors, sizes, values = grid_mrf_model(6, 6, seed=0)
+    names = list(sizes)
+    map_vars = names[::7][:6]
+    solver = jt.MarginalMapSolver(factors, sizes, map_vars)
+    solver.set_potentials(values)
+    rng = np.random.default_rng(4)
+    obs = [v for v in names if v not in map_vars][:4]
+    masks = {}
+    for v in obs:
+        m = np.full((batch, sizes[v]), -1e30, dtype=np.float32)
+        m[np.arange(batch), rng.integers(0, sizes[v], size=batch)] = 0.0
+        masks[v] = m
+    dt, ct = steady(lambda: solver.query_batch(masks), iters=10)
+    log(f"# 6x6 grid MMAP({len(map_vars)} vars)  B={batch}: "
+        f"{dt*1e3:.2f} ms/step  {batch/dt:,.0f} MMAP/s  "
+        f"(width {solver.constrained_width}; compile {ct:.1f}s)")
+    record("6x6 grid batched MMAP", round(batch / dt, 1), "MMAP/s",
+           batch=batch, step_ms=round(dt * 1e3, 3),
+           constrained_width=solver.constrained_width,
+           compile_s=round(ct, 2))
+
+
 def bench_incremental(batch=2048):
     """Incremental-evidence serving: single-variable delta vs full
     re-propagation (VERDICT r2 #4: target >= 2x on the 8x8 grid; the win is
@@ -808,6 +836,7 @@ CASES = {
     "cutset_fused": bench_cutset_fused,
     "uai": bench_uai_serving,
     "tree_map": bench_tree_map,
+    "mmap": bench_mmap,
     "incremental": bench_incremental,
     "division": bench_division,
     "loopy": bench_loopy,
