@@ -825,6 +825,37 @@ class Engine:
         self._query_batch_jit = jax.jit(
             jax.vmap(_query, in_axes=(None, 0))
         )
+
+        def _entropy(pots: List[jnp.ndarray], masks: List[jnp.ndarray]):
+            # H(P) = sum_C H(b_C) - sum_S H(b_S) on the calibrated tree
+            # (P(x) = prod_C b_C / prod_S b_S exactly, so the identity is
+            # exact — O(total clique states), no joint enumeration)
+            pots = _unflatten_pots(plan, pots)
+            mpots = apply_masks(plan, pots, masks, sr)
+            cb, sb = propagate_cliques(plan, mpots, sr)
+            z = partition(plan, cb, sr)
+
+            def H(b):
+                flat = jnp.reshape(b, (-1,))
+                if sr.is_log:
+                    lp = flat - jax.nn.logsumexp(flat)
+                    p = jnp.exp(lp)
+                    return -jnp.sum(jnp.where(p > 0, p * lp, 0.0))
+                p = flat / jnp.maximum(jnp.sum(flat), 1e-38)
+                lp = jnp.log(jnp.maximum(p, 1e-38))
+                return -jnp.sum(jnp.where(p > 0, p * lp, 0.0))
+
+            ent = H(cb[0])
+            for b in cb[1:]:
+                ent = ent + H(b)
+            for b in sb:
+                ent = ent - H(b)
+            return ent, z
+
+        self._entropy_jit = jax.jit(_entropy)
+        self._entropy_batch_jit = jax.jit(
+            jax.vmap(_entropy, in_axes=(None, 0))
+        )
         # batch-aware programs, cached per observed-variable set
         self._batched_cache: Dict[tuple, "jax.stages.Wrapped"] = {}
         self._chain: Optional[tuple] = None  # lazy ChainLayout cache
@@ -1089,6 +1120,64 @@ class Engine:
             with TIMERS.phase("engine.trace_compile"):
                 return fn(pots, masks)
         return fn(pots, masks)
+
+    def entropy(
+        self, evidence: Optional[Dict[Hashable, int]] = None
+    ) -> Tuple[float, float]:
+        """Exact Shannon entropy (nats) of the posterior joint distribution
+        given the evidence, plus P(evidence).
+
+        Calibrated-tree identity: P(x) = prod_C b_C(x_C) / prod_S b_S(x_S),
+        so H(P) = sum_C H(b_C) - sum_S H(b_S) with normalized clique /
+        separator beliefs — O(total clique states), never enumerating the
+        joint.  Information-theoretic queries are beyond the reference
+        entirely (it has no notion of normalized distributions)."""
+        if self.semiring.name not in ("sum_product", "log_sum_exp"):
+            raise ValueError(
+                "entropy needs a probability semiring "
+                "(sum_product or log_sum_exp), not %r" % self.semiring.name
+            )
+        pots = self._require_pots()
+        masks = evidence_to_masks(self.plan, evidence or {}, self.semiring)
+        ent, z = self._entropy_jit(pots, [jnp.asarray(m) for m in masks])
+        zlin = float(np.asarray(self.semiring.to_linear(z)))
+        return float(np.asarray(ent)), zlin
+
+    def entropy_batch(self, mask_batch):
+        """Batched posterior joint entropies under an evidence-mask batch.
+
+        ``mask_batch``: dict {var label: [B, size_v]} masks in the engine's
+        semiring space (unobserved vars default to all-ones), or a full
+        per-var-id list.  Returns (entropies [B], Z [B]) device arrays."""
+        if self.semiring.name not in ("sum_product", "log_sum_exp"):
+            raise ValueError(
+                "entropy needs a probability semiring "
+                "(sum_product or log_sum_exp), not %r" % self.semiring.name
+            )
+        pots = self._require_pots()
+        plan = self.plan
+        if isinstance(mask_batch, dict):
+            by_id = {
+                (k if isinstance(k, int) else plan.table.id_of(k)):
+                jnp.asarray(v)
+                for k, v in mask_batch.items()
+            }
+            B = next(iter(by_id.values())).shape[0] if by_id else 1
+            full = []
+            for v in range(plan.num_vars):
+                m = by_id.get(v)
+                if m is None:
+                    m = jnp.broadcast_to(
+                        jnp.full(
+                            (plan.sizes[v],), self.semiring.one,
+                            dtype=jnp.float32,
+                        ),
+                        (B, plan.sizes[v]),
+                    )
+                full.append(m)
+        else:
+            full = [jnp.asarray(m) for m in mask_batch]
+        return self._entropy_batch_jit(pots, full)
 
     def shard_batch(self, mesh, axis: str = "batch") -> "Engine":
         """Data-parallel serving: shard every batched query's evidence-mask
