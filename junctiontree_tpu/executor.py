@@ -1669,6 +1669,67 @@ class Engine:
             )
         return fn(logA, logmasks)
 
+    def top_k_assignments(
+        self,
+        evidence: Optional[Dict[Hashable, int]] = None,
+        k: int = 5,
+    ) -> List[Tuple[Dict[Hashable, int], float]]:
+        """The k most probable joint assignments under the evidence, best
+        first (exact list-Viterbi; chain-structured plans only).
+
+        Returns up to k ({var label: state}, log unnormalized joint) pairs —
+        fewer when the chain has fewer than k distinct assignments.  The
+        reference has no MAP support at all, let alone k-best."""
+        if self.semiring.name != "max_product":
+            return self._max_delegate().top_k_assignments(evidence, k)
+        from .scan_executor import (
+            _KBEST_PAD_FLOOR, chain_kbest_program, stack_chain_potentials,
+        )
+
+        layout = self._chain_layout()
+        if layout is None:
+            raise ValueError(
+                "top_k_assignments requires a chain-structured plan "
+                "(uniform-cardinality path tree); use map_assignment for "
+                "the single best on general trees"
+            )
+        self._require_pots()
+        plan = self.plan
+        key = ("kbest", int(k))
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            fn = jax.jit(chain_kbest_program(plan, layout, int(k)))
+            self._batched_cache[key] = fn
+        if self._chain_A is None:
+            self._chain_A = jax.device_put(
+                stack_chain_potentials(layout, self._pots_np)
+            )
+        logmasks = {}
+        for label, state in (evidence or {}).items():
+            v = plan.table.id_of(label)
+            mk = np.full((1, plan.sizes[v]), -np.inf, dtype=np.float32)
+            mk[0, int(state)] = 0.0
+            logmasks[v] = jnp.asarray(mk)
+        if not logmasks:
+            logmasks[layout.var_order[0]] = jnp.zeros(
+                (1, layout.card), dtype=jnp.float32
+            )
+        assign, scores = fn(self._chain_A, logmasks)
+        assign = np.asarray(assign)[0]   # [k, num_vars]
+        scores = np.asarray(scores)[0]   # [k]
+        out = []
+        for r in range(assign.shape[0]):
+            if scores[r] < _KBEST_PAD_FLOOR:
+                break  # padding: fewer than k real paths
+            out.append((
+                {
+                    plan.table.label_of(v): int(assign[r, v])
+                    for v in range(plan.num_vars)
+                },
+                float(scores[r]),
+            ))
+        return out
+
     def _tree_map_batch(self, mask_batch):
         """General-tree batched MAP (max-product + traceback, tie-safe)."""
         from .map_executor import tree_map_program

@@ -333,6 +333,72 @@ def chain_viterbi_program(plan: Plan, layout: ChainLayout):
     return fn
 
 
+def chain_kbest_program(plan: Plan, layout: ChainLayout, k: int):
+    """Exact k-best decoding on a uniform chain (list-Viterbi): the forward
+    scan carries the top-k path scores per state ([B, K, k]); each step
+    ranks the K*k candidate extensions per successor state with
+    ``lax.top_k``; traceback follows (state, rank) pointers.  O(1)-size XLA
+    program in chain length, like chain_viterbi_program.
+
+    Distinct ranks are distinct PATHS by construction (each candidate is a
+    distinct (predecessor state, predecessor rank) pair).  When fewer than
+    k paths exist (k > K at early steps), padding entries score ~-2e30 —
+    callers should drop scores below ``_KBEST_PAD_FLOOR``.
+
+    Returns ``fn(logA, logmasks) -> (assign [B, k, m+1] int32 in var-id
+    column order, scores [B, k] descending)``."""
+    m = len(layout.clique_order)
+    K = layout.card
+
+    def fn(logA: jnp.ndarray, logmasks: Dict[int, jnp.ndarray]):
+        B = next(iter(logmasks.values())).shape[0] if logmasks else 1
+        dtype = logA.dtype
+        chain_pos = {v: kk for kk, v in enumerate(layout.var_order)}
+        LM = jnp.zeros((m + 1, B, K), dtype=dtype)
+        for v, mk in logmasks.items():
+            LM = LM.at[chain_pos[v]].set(jnp.asarray(mk, dtype=dtype))
+
+        pad = jnp.asarray(_KBEST_PAD, dtype=dtype)
+        V0 = jnp.full((B, K, k), pad, dtype=dtype).at[:, :, 0].set(0.0)
+
+        def fwd(V, inp):
+            a, lm = inp
+            # cand[b, p, r, q] = V[b,p,r] + lm[b,p] + a[p,q]
+            cand = (V + lm[:, :, None])[:, :, :, None] + a[None, :, None, :]
+            # rank the K*k extensions per successor state q
+            cand = jnp.transpose(cand, (0, 3, 1, 2)).reshape(B, K, K * k)
+            top, idx = jax.lax.top_k(cand, k)          # [B, K, k]
+            return top, idx.astype(jnp.int32)
+
+        V_last, ptrs = jax.lax.scan(fwd, V0, (logA, LM[:-1]))
+        final = (V_last + LM[-1][:, :, None]).reshape(B, K * k)
+        scores, flat = jax.lax.top_k(final, k)          # [B, k]
+        x_last = (flat // k).astype(jnp.int32)          # state q
+        r_last = (flat % k).astype(jnp.int32)           # rank within q
+
+        def back(carry, ptr_t):
+            x, r = carry                                # each [B, k]
+            # flat predecessor pointer for every kept path
+            f = jnp.take_along_axis(
+                ptr_t.reshape(B, K * k), (x * k + r), axis=1
+            )
+            return (f // k, f % k), x
+
+        (_x0, _r0), xs_rev = jax.lax.scan(
+            back, (x_last, r_last), ptrs, reverse=True
+        )
+        assign = jnp.concatenate([_x0[None], xs_rev], axis=0)  # [m+1, B, k]
+        order = np.argsort(np.asarray(layout.var_order))
+        assign = jnp.transpose(assign, (1, 2, 0))[:, :, order]
+        return assign, scores
+
+    return fn
+
+
+_KBEST_PAD = -2e30
+_KBEST_PAD_FLOOR = -1e29  # scores below this are padding, not real paths
+
+
 class StackedPosteriors:
     """Lazy per-variable-id view over the chain program's stacked [m+1, B, K]
     posterior tensor.  Behaves like the list-of-arrays the general program

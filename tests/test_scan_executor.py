@@ -231,3 +231,91 @@ def test_engine_shard_sequence_short_chain_stays_sequential():
     ref = tree.engine().set_potentials(values)
     post_r, logz_r = ref.posterior_batch(masks)
     np.testing.assert_allclose(np.asarray(logz), np.asarray(logz_r), rtol=1e-6)
+
+
+class TestKBest:
+    """Exact k-best decoding (list-Viterbi) vs brute-force enumeration."""
+
+    def _setup(self, n=5, card=3, seed=11):
+        import itertools
+
+        from junctiontree_tpu import Engine, compile_plan
+
+        from .util import chain_bn, random_values
+
+        factors, sizes = chain_bn(n, card=card)
+        values = random_values(factors, sizes, seed=seed)
+        plan = compile_plan(factors, sizes)
+        eng = Engine(plan).set_potentials(values)
+        names = sorted(sizes)
+
+        def joint(assign, evidence):
+            for v, s in (evidence or {}).items():
+                if assign[v] != s:
+                    return -np.inf
+            tot = 0.0
+            for f, val in zip(factors, values):
+                x = float(np.asarray(val)[tuple(assign[v] for v in f)])
+                if x <= 0:
+                    return -np.inf
+                tot += np.log(x)
+            return tot
+
+        def brute_top(k, evidence=None):
+            scored = []
+            for combo in itertools.product(*[range(sizes[v]) for v in names]):
+                a = dict(zip(names, combo))
+                scored.append(joint(a, evidence))
+            scored.sort(reverse=True)
+            return [s for s in scored if s > -np.inf][:k]
+
+        return eng, names, brute_top
+
+    def test_kbest_matches_bruteforce(self):
+        eng, names, brute_top = self._setup()
+        got = eng.top_k_assignments(k=6)
+        want = brute_top(6)
+        assert len(got) == 6
+        np.testing.assert_allclose(
+            [s for _, s in got], want, atol=1e-5
+        )
+        # assignments are distinct and each achieves its reported score
+        seen = {tuple(sorted(a.items())) for a, _ in got}
+        assert len(seen) == 6
+        for a, s in got:
+            assert eng.score_assignment(a) == pytest.approx(s, abs=1e-5)
+
+    def test_kbest_with_evidence(self):
+        eng, names, brute_top = self._setup()
+        ev = {names[2]: 1}
+        got = eng.top_k_assignments(ev, k=4)
+        np.testing.assert_allclose(
+            [s for _, s in got], brute_top(4, ev), atol=1e-5
+        )
+        assert all(a[names[2]] == 1 for a, _ in got)
+
+    def test_kbest_exhausts_paths(self):
+        """k larger than the number of feasible assignments: padding rows
+        are dropped, the full ranked list comes back."""
+        eng, names, brute_top = self._setup(n=3, card=2)
+        got = eng.top_k_assignments(k=20)
+        want = brute_top(20)
+        assert len(got) == len(want) == 8
+        np.testing.assert_allclose([s for _, s in got], want, atol=1e-5)
+
+    def test_kbest_first_equals_map(self):
+        eng, names, _ = self._setup(seed=21)
+        (a1, s1), *_ = eng.top_k_assignments(k=3)
+        a0, s0 = eng.map_assignment()
+        assert s1 == pytest.approx(s0, abs=1e-5)
+
+    def test_kbest_rejects_general_trees(self):
+        from junctiontree_tpu import Engine, compile_plan
+
+        from .util import grid_mrf, random_values
+
+        factors, sizes = grid_mrf(3, 3)
+        plan = compile_plan(factors, sizes)
+        eng = Engine(plan).set_potentials(random_values(factors, sizes, 1))
+        with pytest.raises(ValueError, match="chain-structured"):
+            eng.top_k_assignments(k=2)
