@@ -186,3 +186,25 @@ def test_errors():
         s.query()
     with pytest.raises(ValueError, match="shape"):
         s.set_potentials([np.ones((2, 3))])
+
+
+def test_soft_evidence_masks():
+    """Masks are LOG-likelihood vectors, so soft (virtual) evidence is
+    native: equivalent to multiplying a unary factor in."""
+    factors = [["a", "b"], ["b", "c"]]
+    sizes = {"a": 2, "b": 3, "c": 3}
+    values = random_values(factors, sizes, seed=12)
+    lik = np.array([0.5, 2.0, 0.1])
+    solver = MarginalMapSolver(factors, sizes, ["a"]).set_potentials(values)
+    assign, scores = solver.query_batch(
+        {"c": np.log(lik)[None, :].astype(np.float32)}
+    )
+    marg = brute_force_marginals(
+        factors + [["c"]], sizes, values + [lik], [["a"]]
+    )[0]
+    assert float(np.asarray(scores)[0]) == pytest.approx(
+        np.log(marg.max()), abs=1e-5
+    )
+    assert marg[int(np.asarray(assign)[0, 0])] == pytest.approx(
+        marg.max(), rel=1e-6
+    )
