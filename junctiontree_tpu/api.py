@@ -213,6 +213,29 @@ class JunctionTree:
             self._engines[key] = Engine(self._plan, sr)
         return self._engines[key]
 
+    def marginal_map(
+        self,
+        values: Sequence[np.ndarray],
+        map_vars: Sequence,
+        evidence: Optional[Dict] = None,
+    ):
+        """Exact Marginal MAP over ``map_vars`` (max over them, sum over
+        the rest) given hard evidence.  Builds a dedicated constrained
+        (sum-before-max) solver — MMAP is not computable on this tree's
+        free elimination order; see mmap.MarginalMapSolver for serving.
+
+        Returns ({map var label: state}, log MMAP value)."""
+        from .mmap import MarginalMapSolver
+
+        plan = self._plan
+        solver = MarginalMapSolver(
+            [plan.table.labels_of(f) for f in plan.factors],
+            {plan.table.label_of(v): plan.sizes[v]
+             for v in range(plan.num_vars)},
+            map_vars,
+        )
+        return solver.set_potentials(values).query(evidence)
+
     def propagate(
         self, values: Sequence[np.ndarray], semiring: str = "sum_product"
     ) -> List[np.ndarray]:

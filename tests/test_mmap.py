@@ -208,3 +208,17 @@ def test_soft_evidence_masks():
     assert marg[int(np.asarray(assign)[0, 0])] == pytest.approx(
         marg.max(), rel=1e-6
     )
+
+
+def test_tree_object_api():
+    """JunctionTree.marginal_map: object-model entry to the MMAP solver."""
+    import junctiontree_tpu as jt
+
+    factors = [["a", "b"], ["b", "c"], ["c", "d"]]
+    sizes = {"a": 2, "b": 3, "c": 2, "d": 4}
+    values = random_values(factors, sizes, seed=0)
+    tree = jt.create_junction_tree(factors, sizes)
+    assign, score = tree.marginal_map(values, ["a", "d"], {"b": 1})
+    best, marg = _oracle_mmap(factors, sizes, values, ["a", "d"], {"b": 1})
+    assert score == pytest.approx(np.log(best), abs=1e-5)
+    assert marg[assign["a"], assign["d"]] == pytest.approx(best, rel=1e-6)
