@@ -50,11 +50,21 @@ def constrained_order(
     factors: Sequence[Sequence[int]],
     sizes: Sequence[int],
     late: Set[int],
+    heuristic: str = "min_fill",
 ) -> List[int]:
-    """Greedy min-fill elimination order eliminating every var NOT in
-    ``late`` before any var in ``late`` (min fill, weight then id
-    tie-breaks within each phase — the same criterion as the free
-    min_fill_triangulation)."""
+    """Greedy elimination order eliminating every var NOT in ``late``
+    before any var in ``late``.  ``min_fill`` scores (fill, weight, id) —
+    the same criterion as the free min_fill_triangulation; ``min_degree``
+    and ``min_weight`` reorder the keys (same portfolio as triangulate.py,
+    here under the two-phase constraint)."""
+    if heuristic == "min_fill":
+        keyf = lambda adj, v: (_fill_count(adj, v), _weight(adj, sizes, v), v)
+    elif heuristic == "min_degree":
+        keyf = lambda adj, v: (len(adj[v]), _weight(adj, sizes, v), v)
+    elif heuristic == "min_weight":
+        keyf = lambda adj, v: (_weight(adj, sizes, v), _fill_count(adj, v), v)
+    else:
+        raise ValueError(f"unknown constrained heuristic {heuristic!r}")
     num_vars = len(sizes)
     adj = build_adjacency(factors, num_vars)
     remaining: Set[int] = set(range(num_vars))
@@ -63,10 +73,7 @@ def constrained_order(
         cands = [v for v in remaining if v not in late]
         if not cands:
             cands = list(remaining)
-        best = min(
-            cands,
-            key=lambda v: (_fill_count(adj, v), _weight(adj, sizes, v), v),
-        )
+        best = min(cands, key=lambda v: keyf(adj, v))
         nbrs = [u for u in adj[best] if u in remaining]
         for i, u in enumerate(nbrs):
             for w in nbrs[i + 1:]:
@@ -292,10 +299,23 @@ class MarginalMapSolver:
         if len(set(self.map_vars)) != len(self.map_vars):
             raise ValueError("map_vars contains duplicates")
         self._max_ids = [self.table.id_of(x) for x in self.map_vars]
-        order = constrained_order(
-            self._factors, self._sizes, set(self._max_ids)
-        )
-        self.bt = build_bucket_tree(self._factors, self._sizes, order)
+        # portfolio over constrained heuristics: the two-phase constraint
+        # changes which greedy criterion wins per graph, and feasibility
+        # hangs on the induced width (same rationale as the free-order
+        # portfolio in triangulate.portfolio_triangulation)
+        best_bt, best_cost = None, None
+        for h in ("min_fill", "min_degree", "min_weight"):
+            order = constrained_order(
+                self._factors, self._sizes, set(self._max_ids), heuristic=h
+            )
+            bt = build_bucket_tree(self._factors, self._sizes, order)
+            cost = sum(
+                int(np.prod([self._sizes[v] for v in sc]))
+                for sc in bt.scope.values()
+            )
+            if best_cost is None or cost < best_cost:
+                best_bt, best_cost = bt, cost
+        self.bt = best_bt
         worst = self.bt.max_bucket_states(self._sizes)
         if worst > max_states:
             raise ValueError(
