@@ -332,6 +332,22 @@ class MarginalMapSolver:
         """Induced width of the constrained order (bucket size - 1)."""
         return max(len(s) for s in self.bt.scope.values()) - 1
 
+    def describe(self) -> dict:
+        """Compile stats (observability parity with Engine.describe)."""
+        total = sum(
+            int(np.prod([self._sizes[v] for v in sc]))
+            for sc in self.bt.scope.values()
+        )
+        return {
+            "num_vars": len(self._sizes),
+            "num_map_vars": len(self._max_ids),
+            "num_buckets": len(self.bt.scope),
+            "constrained_width": self.constrained_width,
+            "max_bucket_states": self.bt.max_bucket_states(self._sizes),
+            "total_bucket_states": total,
+            "compiled_programs": len(self._fn_cache),
+        }
+
     def set_potentials(self, values: Sequence[np.ndarray]) -> "MarginalMapSolver":
         """Per-factor potential arrays (linear space, aligned with the
         constructor's factor list).  Zeros become -1e30 in log space (the

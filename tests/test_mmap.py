@@ -222,3 +222,18 @@ def test_tree_object_api():
     best, marg = _oracle_mmap(factors, sizes, values, ["a", "d"], {"b": 1})
     assert score == pytest.approx(np.log(best), abs=1e-5)
     assert marg[assign["a"], assign["d"]] == pytest.approx(best, rel=1e-6)
+
+
+def test_describe():
+    factors = [["a", "b"], ["b", "c"]]
+    sizes = {"a": 2, "b": 3, "c": 2}
+    s = MarginalMapSolver(factors, sizes, ["a"]).set_potentials(
+        random_values(factors, sizes, seed=4)
+    )
+    d = s.describe()
+    assert d["num_vars"] == 3 and d["num_map_vars"] == 1
+    assert d["num_buckets"] == 3
+    assert d["max_bucket_states"] >= 2
+    assert d["compiled_programs"] == 0
+    s.query()
+    assert s.describe()["compiled_programs"] == 1
