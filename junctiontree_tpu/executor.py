@@ -1148,7 +1148,9 @@ class Engine:
 
         ``mask_batch``: dict {var label: [B, size_v]} masks in the engine's
         semiring space (unobserved vars default to all-ones), or a full
-        per-var-id list.  Returns (entropies [B], Z [B]) device arrays."""
+        per-var-id list.  Returns (entropies [B], Z [B]) device arrays;
+        Z is linear-space P(evidence) regardless of semiring (matching
+        ``entropy``)."""
         if self.semiring.name not in ("sum_product", "log_sum_exp"):
             raise ValueError(
                 "entropy needs a probability semiring "
@@ -1177,7 +1179,8 @@ class Engine:
                 full.append(m)
         else:
             full = [jnp.asarray(m) for m in mask_batch]
-        return self._entropy_batch_jit(pots, full)
+        ent, z = self._entropy_batch_jit(pots, full)
+        return ent, self.semiring.to_linear(z)
 
     def shard_batch(self, mesh, axis: str = "batch") -> "Engine":
         """Data-parallel serving: shard every batched query's evidence-mask

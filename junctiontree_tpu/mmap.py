@@ -298,12 +298,26 @@ class MarginalMapSolver:
         self.map_vars: List[Hashable] = list(map_vars)
         if len(set(self.map_vars)) != len(self.map_vars):
             raise ValueError("map_vars contains duplicates")
+        # intern_factors only interns variables used by some factor; a free
+        # MAP variable would otherwise surface as an opaque KeyError deep in
+        # LabelTable (ADVICE r3) — validate up front with a useful message.
+        unknown = [x for x in self.map_vars if x not in self.table]
+        if unknown:
+            raise ValueError(
+                f"map_vars {unknown!r} appear in no factor; a variable "
+                f"unconstrained by the model has no posterior to maximize "
+                f"(drop it, or add a unary factor over it)"
+            )
         self._max_ids = [self.table.id_of(x) for x in self.map_vars]
         # portfolio over constrained heuristics: the two-phase constraint
         # changes which greedy criterion wins per graph, and feasibility
         # hangs on the induced width (same rationale as the free-order
         # portfolio in triangulate.portfolio_triangulation)
-        best_bt, best_cost = None, None
+        # Feasibility dominates total cost (ADVICE r3): a candidate whose
+        # largest bucket fits under max_states must beat a lower-total
+        # candidate that exceeds the cap, else we raise 'infeasible'
+        # spuriously.  Key = (over_cap?, total_states).
+        best_bt, best_key = None, None
         for h in ("min_fill", "min_degree", "min_weight"):
             order = constrained_order(
                 self._factors, self._sizes, set(self._max_ids), heuristic=h
@@ -313,8 +327,9 @@ class MarginalMapSolver:
                 int(np.prod([self._sizes[v] for v in sc]))
                 for sc in bt.scope.values()
             )
-            if best_cost is None or cost < best_cost:
-                best_bt, best_cost = bt, cost
+            key = (bt.max_bucket_states(self._sizes) > max_states, cost)
+            if best_key is None or key < best_key:
+                best_bt, best_key = bt, key
         self.bt = best_bt
         worst = self.bt.max_bucket_states(self._sizes)
         if worst > max_states:

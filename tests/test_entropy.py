@@ -60,16 +60,21 @@ def test_entropy_uniform_and_deterministic():
     assert z == pytest.approx(1.0, rel=1e-6)
 
 
-def test_entropy_batch():
+@pytest.mark.parametrize("semiring", [None, LOG_SUM_EXP])
+def test_entropy_batch(semiring):
+    """Both probability semirings: Z must come back in LINEAR space (the
+    log engine returning logZ was ADVICE r3's medium finding)."""
     factors, sizes = grid_mrf(3, 3)
     values = random_values(factors, sizes, seed=8)
     plan = compile_plan(factors, sizes)
-    eng = Engine(plan).set_potentials(values)
+    eng = Engine(plan, *([semiring] if semiring else [])).set_potentials(values)
     B = 3
     m = np.ones((B, 2), dtype=np.float32)
     m[0] = [1.0, 0.0]
     m[1] = [0.0, 1.0]
-    ents, zs = eng.entropy_batch({"g0_0": m})
+    ents, zs = eng.entropy_batch(
+        {"g0_0": np.asarray(eng.semiring.from_linear(m))}
+    )
     ents, zs = np.asarray(ents), np.asarray(zs)
     for b, ev in enumerate([{"g0_0": 0}, {"g0_0": 1}, None]):
         h0, z0 = _oracle_entropy(factors, sizes, values, ev)

@@ -176,11 +176,48 @@ def test_infeasible_cap_raises():
         MarginalMapSolver(factors, sizes, ["a"], max_states=2)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_portfolio_prefers_feasible(seed):
+    """If ANY portfolio heuristic's largest bucket fits under max_states the
+    solver must not raise infeasible — feasibility beats total cost in the
+    candidate ranking (ADVICE r3: a lower-total but cap-exceeding winner
+    used to shadow a feasible candidate)."""
+    from junctiontree_tpu.labels import intern_factors
+
+    factors, sizes = random_factor_graph(seed, n_vars=10, n_factors=14)
+    rng = np.random.default_rng(seed)
+    map_vars = [
+        v for v in sorted({x for f in factors for x in f}, key=str)
+        if rng.random() < 0.4
+    ] or [factors[0][0]]
+    table, ifs, isz = intern_factors(factors, sizes)
+    map_ids = {table.id_of(v) for v in map_vars}
+    per_h = []
+    for h in ("min_fill", "min_degree", "min_weight"):
+        order = constrained_order(ifs, isz, map_ids, heuristic=h)
+        per_h.append(
+            build_bucket_tree(ifs, isz, order).max_bucket_states(isz)
+        )
+    cap = min(per_h)  # tightest cap some heuristic still satisfies
+    solver = MarginalMapSolver(factors, sizes, map_vars, max_states=cap)
+    assert solver.bt.max_bucket_states(isz) <= cap
+    # and it still decodes correctly under that cap
+    values = random_values(factors, sizes, seed=seed + 100)
+    solver.set_potentials(values)
+    assign, score = solver.query()
+    best, marg = _oracle_mmap(factors, sizes, values, map_vars)
+    assert score == pytest.approx(np.log(best), abs=1e-5)
+
+
 def test_errors():
     factors = [["a", "b"]]
     sizes = {"a": 2, "b": 2}
     with pytest.raises(ValueError, match="duplicates"):
         MarginalMapSolver(factors, sizes, ["a", "a"])
+    # a MAP var in no factor must raise a descriptive ValueError, not the
+    # raw LabelTable KeyError (ADVICE r3)
+    with pytest.raises(ValueError, match="'ghost'.*no factor"):
+        MarginalMapSolver(factors, sizes, ["a", "ghost"])
     s = MarginalMapSolver(factors, sizes, ["a"])
     with pytest.raises(ValueError, match="set_potentials"):
         s.query()
