@@ -56,6 +56,29 @@ def steady(fn, *args, iters=20, rounds=3):
     return best, compile_t
 
 
+def steady_interleaved(fns, args, iters=10, rounds=6):
+    """Steady-state per-call time for SEVERAL compiled variants, measured in
+    interleaved windows (round-robin over variants each round) so shared-chip
+    load variance hits every variant equally — comparisons between the
+    returned times are then meaningful at far smaller margins than separate
+    `steady` calls, whose windows run seconds apart (measured: the SAME
+    program timed in two separate windows differed by 1.4x on the tunnelled
+    dev chip)."""
+    import jax
+
+    for fn in fns:  # compile all first
+        jax.block_until_ready(fn(*args))
+    best = [float("inf")] * len(fns)
+    for _ in range(rounds):
+        for i, fn in enumerate(fns):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best[i] = min(best[i], (time.perf_counter() - t0) / iters)
+    return best
+
+
 RESULTS: list = []  # per-case records, written to BENCH_all.json
 
 
@@ -220,9 +243,12 @@ def bench_big_clique(batch=4096):
             ]
         )
 
-    dt_r, ct_r = steady(make(True, True), pot, masks, iters=10)   # routed
-    dt_p, ct_p = steady(make(True, False), pot, masks, iters=10)  # pallas
-    dt_x, ct_x = steady(make(False, False), pot, masks, iters=10)  # xla
+    # interleaved measurement: routed / forced-pallas / forced-xla share
+    # every contention window, so the watchdog below compares like to like
+    dt_r, dt_p, dt_x = steady_interleaved(
+        [make(True, True), make(True, False), make(False, False)],
+        (pot, masks), iters=10,
+    )
     # Work accounting: a naive engine contracts the full 2^18-state space
     # against the batch per output (2*B*S flops x 7 contractions).  The
     # factored path does far less work (masks factor into ~sqrt-sized
@@ -246,10 +272,15 @@ def bench_big_clique(batch=4096):
            naive_equiv_tflops=round(flops_naive / dt_best / 1e12, 2),
            vs_naive_speed_of_light=round(t_light_naive / dt_best, 3),
            routing_table=autotune_report())
-    # routed must never lose to the XLA fallback (measurement-based routing)
+    # routed must never lose to the XLA fallback (measurement-based routing).
+    # Always recorded so a clean rerun REPLACES any stale regression record
+    # in BENCH_all.json (merge is by metric name).
+    ratio = round(dt_r / dt_x, 2)
     if dt_r > dt_x * 1.25:
-        record("big-clique routing regression", round(dt_r / dt_x, 2), "x",
+        record("big-clique routing regression", ratio, "x",
                error="routed slower than XLA fallback")
+    else:
+        record("big-clique routing regression", ratio, "x", fired=False)
 
 
 def bench_tree_map(batch=2048):

@@ -14,6 +14,7 @@ from junctiontree_tpu.ops.pallas_contract import plan_tiles
 @pytest.fixture(autouse=True)
 def _isolated_cache(tmp_path, monkeypatch):
     monkeypatch.setattr(autotune, "_CACHE", None)
+    monkeypatch.setattr(autotune, "_VALIDATED", set())
     monkeypatch.setattr(
         autotune, "cache_path", lambda: str(tmp_path / "autotune.json")
     )
@@ -55,14 +56,98 @@ def test_measured_winner_is_cached_in_memory_and_on_disk(monkeypatch):
     monkeypatch.setattr(autotune, "measure", fake_measure)
     assert autotune.decide(8, 128, 128, 256) == "xla"
     assert autotune.decide(8, 128, 128, 256) == "xla"
-    assert len(calls) == 1  # second call served from cache
+    assert len(calls) == 1  # second call served from (validated) cache
     with open(autotune.cache_path()) as f:
         disk = json.load(f)
     assert disk["f32:8x128x128:B256"]["winner"] == "xla"
-    # a fresh in-memory cache reloads the persisted decision
+    assert disk["f32:8x128x128:B256"]["margin"] == 2.0
+    assert disk["f32:8x128x128:B256"]["ts"] > 0
+    # a fresh in-memory cache reloads the persisted decision; the key is
+    # already validated by this process so no re-measurement happens
     monkeypatch.setattr(autotune, "_CACHE", None)
     assert autotune.decide(8, 128, 128, 256) == "xla"
     assert len(calls) == 1
+
+
+def test_stale_cached_winner_is_demoted_on_revalidation(monkeypatch, tmp_path):
+    """Round-3 regression: a persisted winner that now LOSES by >10% must be
+    demoted the first time a new process consults it (the shipped artifact
+    had the routed path 1.35x slower than its own XLA fallback)."""
+    # simulate a stale cache written by an earlier process: pallas "won"
+    stale = {
+        "f32:8x128x128:B256": dict(
+            winner="pallas", pallas_ms=1.0, xla_ms=2.0, flops=1, hbm_bytes=1,
+            achieved_tflops=0.0, roofline_fraction=0.0, validations=1,
+        )
+    }
+    with open(autotune.cache_path(), "w") as f:
+        json.dump(stale, f)
+
+    calls = []
+
+    def fresh_measure(R1, R2, C, B, dtype="f32"):
+        # today pallas loses by 1.35x — beyond the 10% hysteresis band
+        calls.append(1)
+        return dict(winner="xla", pallas_ms=1.35, xla_ms=1.0, flops=1,
+                    hbm_bytes=1, achieved_tflops=0.0, roofline_fraction=0.0)
+
+    monkeypatch.setattr(autotune, "measure", fresh_measure)
+    assert autotune.decide(8, 128, 128, 256) == "xla"  # demoted
+    assert len(calls) == 1
+    with open(autotune.cache_path()) as f:
+        disk = json.load(f)["f32:8x128x128:B256"]
+    assert disk["winner"] == "xla"
+    assert disk["demoted_from"] == "pallas"
+    assert disk["pallas_ms"] == 1.35  # fresh timings replace stale ones
+    assert disk["validations"] == 2
+    # subsequent calls in this process trust the validated decision
+    assert autotune.decide(8, 128, 128, 256) == "xla"
+    assert len(calls) == 1
+
+
+def test_revalidation_hysteresis_keeps_incumbent_within_margin(monkeypatch):
+    """A fresh measurement where the incumbent loses by <10% must NOT flip
+    the decision (noise on a shared chip would otherwise oscillate it)."""
+    stale = {
+        "f32:8x128x128:B256": dict(
+            winner="pallas", pallas_ms=1.0, xla_ms=2.0, flops=1, hbm_bytes=1,
+            achieved_tflops=0.0, roofline_fraction=0.0,
+        )
+    }
+    with open(autotune.cache_path(), "w") as f:
+        json.dump(stale, f)
+
+    def fresh_measure(R1, R2, C, B, dtype="f32"):
+        # pallas behind by 5% — inside the hysteresis band
+        return dict(winner="xla", pallas_ms=1.05, xla_ms=1.0, flops=1,
+                    hbm_bytes=1, achieved_tflops=0.0, roofline_fraction=0.0)
+
+    monkeypatch.setattr(autotune, "measure", fresh_measure)
+    assert autotune.decide(8, 128, 128, 256) == "pallas"  # incumbent kept
+    with open(autotune.cache_path()) as f:
+        disk = json.load(f)["f32:8x128x128:B256"]
+    assert disk["winner"] == "pallas"
+    assert "demoted_from" not in disk
+    assert disk["pallas_ms"] == 1.05  # timings still refreshed
+
+
+def test_compile_failure_entries_are_never_remeasured(monkeypatch):
+    """A permanent 'pallas compile failed' route must be trusted without
+    re-validation — re-measuring would re-attempt the failing compile."""
+    stale = {
+        "f32:8x128x128:B256": dict(
+            winner="xla", pallas_ms=None, xla_ms=None, flops=1, hbm_bytes=1,
+            error="pallas compile failed: ValueError",
+        )
+    }
+    with open(autotune.cache_path(), "w") as f:
+        json.dump(stale, f)
+
+    def boom(*a, **k):
+        raise AssertionError("must not re-measure a compile-failure entry")
+
+    monkeypatch.setattr(autotune, "measure", boom)
+    assert autotune.decide(8, 128, 128, 256) == "xla"
 
 
 def test_disabled_autotune_defaults_to_pallas(monkeypatch):
