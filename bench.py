@@ -561,17 +561,24 @@ def bench_bf16(batch=4096):
             }
             t, ct = steady(eng.posterior_batch, m, iters=10)
             qps[dt_name] = (b, b / t, t)
+            if dt_name == "float32":
+                # XLA's measured peak for the compiled program (the basis
+                # of the recalibrated capacity estimate — see
+                # Engine.max_feasible_batch)
+                ma = eng.memory_analysis(m)
         log(f"# Hailfinder-class bf16 storage: "
             f"bf16 B={qps['bfloat16'][0]} {qps['bfloat16'][1]:,.0f} q/s  "
             f"f32 B={qps['float32'][0]} {qps['float32'][1]:,.0f} q/s  "
-            f"({qps['bfloat16'][1]/qps['float32'][1]:.2f}x)")
+            f"({qps['bfloat16'][1]/qps['float32'][1]:.2f}x)  "
+            f"(f32 temp {ma['temp_bytes']/2**30:.2f} GiB measured)")
         record("Hailfinder-class bf16-storage capacity serving",
                round(qps["bfloat16"][1], 1), "queries/s",
                batch=qps["bfloat16"][0],
                bf16_step_ms=round(qps["bfloat16"][2] * 1e3, 3),
                f32_batch=qps["float32"][0],
                f32_qps=round(qps["float32"][1], 1),
-               speedup=round(qps["bfloat16"][1] / qps["float32"][1], 3))
+               speedup=round(qps["bfloat16"][1] / qps["float32"][1], 3),
+               f32_memory_analysis=ma)
     finally:
         DEFAULT.storage_dtype = old
 

@@ -1793,7 +1793,8 @@ class Engine:
         return total
 
     def max_feasible_batch(
-        self, budget_bytes: int = 8 << 30, live_messages: int = 8
+        self, budget_bytes: int = 8 << 30, live_messages: int = 4,
+        analysis: Optional[dict] = None,
     ) -> int:
         """Largest power-of-two evidence batch that keeps batched message
         traffic inside ``budget_bytes`` of HBM.
@@ -1802,14 +1803,74 @@ class Engine:
         models with huge separators (hailfinder-class: 3.1M-state
         separators) the batch size — not the clique size — is what
         overflows HBM (B=4096 x 3.1M floats = 51 GB).  ``live_messages``
-        bounds how many such tensors XLA keeps live simultaneously
-        (collect + distribute of the widest region; 8 is conservative).
+        bounds how many such tensors XLA keeps live simultaneously.
+        The default of 4 is calibrated against XLA's own memory analysis
+        of the hailfinder-class batched program (round-4 measurement:
+        ``live_messages=8`` predicted a B=64 f32 ceiling, but the compiled
+        program's temp peak is ~9.2 GB nearly independent of B — XLA's
+        buffer reuse keeps ~2-3 messages live — and f32 B=128 runs at
+        142k q/s, beating the bf16 B=128 path the old cap forced).
+
+        ``analysis``: optionally the dict from :meth:`memory_analysis` of a
+        compiled program at some batch B0 — then the estimate starts from
+        the MEASURED temp peak and only extrapolates the marginal queries
+        analytically: B0 + (budget - temp(B0)) / per_query_bytes.
         Returns at least 1."""
         st = self.plan.stats()
         itemsize = jnp.dtype(self._storage_dtype()).itemsize
         per_query = itemsize * max(st["max_sep_states"], 1) * live_messages
-        b = max(1, int(budget_bytes // per_query))
+        if analysis is not None:
+            headroom = budget_bytes - int(analysis["temp_bytes"])
+            if headroom < 0:
+                b = max(1, int(analysis["batch"]) // 2)
+            else:
+                b = int(analysis["batch"]) + int(headroom // per_query)
+        else:
+            b = max(1, int(budget_bytes // per_query))
+        b = max(1, b)
         return 1 << (b.bit_length() - 1)
+
+    def memory_analysis(self, mask_batch) -> dict:
+        """XLA's compiled-program memory statistics for the batched
+        posterior program under ``mask_batch`` (same format as
+        ``posterior_batch``): argument / output / temp / generated-code
+        bytes, the device HBM limit when the backend reports one, and
+        whether the program fits.  AOT-lowers and compiles the program —
+        cheap when it is already in the persistent compile cache; pass the
+        result to ``max_feasible_batch(analysis=...)`` to size serving
+        batches from measured peak usage instead of the analytic bound.
+
+        The reference has no notion of memory planning at all (NumPy
+        allocates per einsum call); this is the SURVEY §5 donation/aliasing
+        observability row."""
+        pots = self._program_pots()
+        ids, masks = self._masks_to_program_args(mask_batch)
+        fn = jax.jit(
+            batched_propagate_program(
+                self.plan, self.semiring, list(ids), tp=self._tp()
+            )
+        )
+        stats = fn.lower(pots, masks).compile().memory_analysis()
+        B = int(masks[0].shape[0]) if masks else 1
+        out = dict(
+            batch=B,
+            argument_bytes=int(stats.argument_size_in_bytes),
+            output_bytes=int(stats.output_size_in_bytes),
+            temp_bytes=int(stats.temp_size_in_bytes),
+            code_bytes=int(stats.generated_code_size_in_bytes),
+        )
+        out["total_bytes"] = (
+            out["argument_bytes"] + out["output_bytes"] + out["temp_bytes"]
+        )
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            limit = int(ms.get("bytes_limit", 0)) if ms else 0
+        except Exception:
+            limit = 0
+        if limit:
+            out["device_bytes_limit"] = limit
+            out["fits"] = out["total_bytes"] <= limit
+        return out
 
     def incremental(self, mask_batch) -> "IncrementalSession":
         """Open an incremental-evidence serving session: one collect pass is

@@ -311,5 +311,9 @@ class IncrementalSession:
                     "observed set" % (v,)
                 )
         self._masks = masks
+        # drop the stale message cache BEFORE the fresh collect runs: the
+        # old [B, sep_states] buffers would otherwise stay live across the
+        # call and double the session's peak HBM on wide-separator models
+        self._ups = self._offs = None
         self._ups, self._offs = self._collect_jit(self._pots, masks)
         return self

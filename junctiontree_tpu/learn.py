@@ -15,6 +15,7 @@ Uses the rescaled posterior machinery for stability and optax if available
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -95,7 +96,10 @@ def fit_mle(
         opt = optax.adam(learning_rate * 0.2)
         state = opt.init(thetas)
 
-        @jax.jit
+        # old params/optimizer state are dead the moment the step returns:
+        # donating them lets XLA update in place instead of double-booking
+        # every parameter + moment buffer (SURVEY §5 donation/aliasing row)
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(thetas, state):
             loss, g = jax.value_and_grad(
                 lambda th: -log_likelihood(plan, th, emp)
@@ -225,7 +229,7 @@ def fit_mle_missing(
     if opt is not None:
         state = opt.init(thetas)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(thetas, state):
             loss, g = jax.value_and_grad(neg_loglik)(thetas)
             updates, state = opt.update(g, state)

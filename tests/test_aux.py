@@ -322,3 +322,27 @@ def test_unset_engine_raises_standard_error_on_all_paths():
     eng2 = jt.create_junction_tree(factors, sizes).engine()
     with pytest.raises(RuntimeError, match="set_potentials"):
         eng2.map_assignment_batch({})
+
+
+def test_memory_analysis_and_measured_feasible_batch():
+    """Engine.memory_analysis exposes XLA's compiled-program memory stats
+    and max_feasible_batch(analysis=...) extrapolates from the MEASURED
+    temp peak (round-4: the analytic live-message bound under-estimated
+    hailfinder-class f32 capacity 2x)."""
+    factors, sizes = grid_mrf(3, 3)
+    values = random_values(factors, sizes, seed=0)
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    B = 4
+    masks = {"g0_0": np.ones((B, 2), dtype=np.float32)}
+    ma = eng.memory_analysis(masks)
+    assert ma["batch"] == B
+    for k in ("argument_bytes", "output_bytes", "temp_bytes", "total_bytes"):
+        assert isinstance(ma[k], int) and ma[k] >= 0
+    # analysis-based estimate: plenty of headroom -> larger than B, po2
+    est = eng.max_feasible_batch(budget_bytes=1 << 30, analysis=ma)
+    assert est >= B and est & (est - 1) == 0
+    # a program already over budget halves the probe batch
+    over = dict(ma, temp_bytes=2 << 30, batch=8)
+    assert eng.max_feasible_batch(budget_bytes=1 << 30, analysis=over) == 4
+    # analytic fallback unchanged: po2, >= 1
+    assert eng.max_feasible_batch(budget_bytes=1024) >= 1
