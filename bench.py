@@ -309,6 +309,17 @@ def bench_tree_map(batch=2048):
         f"{batch/dt:,.0f} MAP/s  (compile {ct:.1f}s)")
     record("6x6 grid batched MAP", round(batch / dt, 1), "MAP/s",
            batch=batch, step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
+    # batched k-best on the same general tree (round-4: tree_kbest_program)
+    k = 8
+    dt, ct = steady(
+        lambda: eng.top_k_assignments_batch(masks, k=k), iters=10
+    )
+    log(f"# 6x6 grid batched top-{k}  B={batch}: {dt*1e3:.2f} ms/step  "
+        f"{batch/dt:,.0f} q/s ({batch*k/dt:,.0f} ranked assignments/s)  "
+        f"(compile {ct:.1f}s)")
+    record(f"6x6 grid batched top-{k} assignments", round(batch / dt, 1),
+           "queries/s", batch=batch, k=k, step_ms=round(dt * 1e3, 3),
+           compile_s=round(ct, 2))
 
 
 def bench_mmap(batch=2048):

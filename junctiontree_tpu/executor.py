@@ -1678,10 +1678,15 @@ class Engine:
         k: int = 5,
     ) -> List[Tuple[Dict[Hashable, int], float]]:
         """The k most probable joint assignments under the evidence, best
-        first (exact list-Viterbi; chain-structured plans only).
+        first (exact k-best decoding on any junction tree).
+
+        Chain-structured plans use the O(1)-program-size lax.scan
+        list-Viterbi (scan_executor.chain_kbest_program); general trees use
+        k-best-semiring message passing with backpointer traceback
+        (map_executor.tree_kbest_program).
 
         Returns up to k ({var label: state}, log unnormalized joint) pairs —
-        fewer when the chain has fewer than k distinct assignments.  The
+        fewer when the model has fewer than k feasible assignments.  The
         reference has no MAP support at all, let alone k-best."""
         if self.semiring.name != "max_product":
             return self._max_delegate().top_k_assignments(evidence, k)
@@ -1691,11 +1696,29 @@ class Engine:
 
         layout = self._chain_layout()
         if layout is None:
-            raise ValueError(
-                "top_k_assignments requires a chain-structured plan "
-                "(uniform-cardinality path tree); use map_assignment for "
-                "the single best on general trees"
-            )
+            self._require_pots()
+            plan = self.plan
+            logmasks = {}
+            for label, state in (evidence or {}).items():
+                v = plan.table.id_of(label)
+                mk = np.full((1, plan.sizes[v]), -np.inf, dtype=np.float32)
+                mk[0, int(state)] = 0.0
+                logmasks[v] = mk
+            assign, scores = self.top_k_assignments_batch(logmasks, k)
+            assign = np.asarray(assign)[0]   # [K, num_vars]
+            scores = np.asarray(scores)[0]   # [K]
+            out = []
+            for r in range(assign.shape[0]):
+                if scores[r] < _KBEST_PAD_FLOOR:
+                    break  # evidence-violating tail, not a real assignment
+                out.append((
+                    {
+                        plan.table.label_of(v): int(assign[r, v])
+                        for v in range(plan.num_vars)
+                    },
+                    float(scores[r]),
+                ))
+            return out
         self._require_pots()
         plan = self.plan
         key = ("kbest", int(k))
@@ -1732,6 +1755,45 @@ class Engine:
                 float(scores[r]),
             ))
         return out
+
+    def top_k_assignments_batch(self, mask_batch, k: int = 5):
+        """Batched exact k-best decoding on any junction tree.
+
+        ``mask_batch``: dict {var label or id: [B, size_v]} LOG-space masks
+        (0 / -inf).  Returns (assign [B, K, num_vars] int32, scores [B, K]
+        descending) device arrays with K = min(k, total assignments) —
+        ranked DISTINCT joint assignments per batch element.  Evidence-
+        violating entries (score < -1e29) appear only when fewer than K
+        feasible assignments exist.
+
+        Routes through map_executor.tree_kbest_program (k-best-semiring
+        messages + traceback); works on chains too, though the unbatched
+        ``top_k_assignments`` prefers the lax.scan program there."""
+        from .map_executor import tree_kbest_program
+
+        if self.semiring.name != "max_product":
+            return self._max_delegate().top_k_assignments_batch(mask_batch, k)
+        plan = self.plan
+        pots = self._require_pots()
+        logmasks = {
+            (kk if isinstance(kk, int) else plan.table.id_of(kk)):
+            jnp.asarray(v)
+            for kk, v in mask_batch.items()
+        }
+        if not logmasks:
+            logmasks[0] = jnp.zeros((1, plan.sizes[0]), dtype=jnp.float32)
+        if self._mask_sharding is not None:
+            logmasks = {
+                kk: jax.device_put(v, self._mask_sharding)
+                for kk, v in logmasks.items()
+            }
+        ids = tuple(sorted(logmasks))
+        key = ("tree_kbest", ids, int(k))
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            fn = jax.jit(tree_kbest_program(plan, list(ids), int(k)))
+            self._batched_cache[key] = fn
+        return fn(pots, [logmasks[v] for v in ids])
 
     def _tree_map_batch(self, mask_batch):
         """General-tree batched MAP (max-product + traceback, tie-safe)."""

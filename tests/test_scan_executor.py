@@ -309,7 +309,10 @@ class TestKBest:
         a0, s0 = eng.map_assignment()
         assert s1 == pytest.approx(s0, abs=1e-5)
 
-    def test_kbest_rejects_general_trees(self):
+    def test_kbest_general_trees_route_to_tree_program(self):
+        """Non-chain plans no longer raise (round-3 limitation): they route
+        to map_executor.tree_kbest_program — spot-check rank-1 == MAP here;
+        full parity lives in tests/test_tree_kbest.py."""
         from junctiontree_tpu import Engine, compile_plan
 
         from .util import grid_mrf, random_values
@@ -317,5 +320,7 @@ class TestKBest:
         factors, sizes = grid_mrf(3, 3)
         plan = compile_plan(factors, sizes)
         eng = Engine(plan).set_potentials(random_values(factors, sizes, 1))
-        with pytest.raises(ValueError, match="chain-structured"):
-            eng.top_k_assignments(k=2)
+        got = eng.top_k_assignments(k=2)
+        assert len(got) == 2 and got[0][1] >= got[1][1]
+        _, s0 = eng.map_assignment()
+        assert got[0][1] == pytest.approx(s0, abs=1e-5)
