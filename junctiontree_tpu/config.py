@@ -83,6 +83,28 @@ class Config:
     # machine — subsequent processes deserialize the compiled executable.
     compilation_cache_dir: Optional[str] = None
 
+    # Parallel cold start for the batched posterior program
+    # (executor._ColdStartServing): on a compile-cache miss the program is
+    # split into cold_start_segments chunk programs whose XLA compiles run
+    # CONCURRENTLY, serving begins on the chunked form, and the monolithic
+    # program compiles in a background thread and is swapped in for
+    # steady-state serving.
+    #
+    # Default OFF — measured NEGATIVE on the v5e dev chip in round 4, both
+    # ways: hailfinder-class (3.1M-state separators) chunk boundaries carry
+    # GB tensors and chunk compiles totalled 198 s vs the 85 s monolith
+    # (interim steps 44 ms vs 1.8 ms); the small-separator 12x12 grid came
+    # to 25.7 s first-batch vs ~18 s monolith-only (per-chunk fixed XLA
+    # pass cost + ~1.5x-max tunnel compile concurrency never catch up).
+    # The machinery is kept (tested, parity-exact) for environments with
+    # real local compile parallelism; the persistent XLA compile cache is
+    # the production mitigation for cold starts.  Gates: largest clique >=
+    # cold_start_min_states AND largest separator <= cold_start_max_sep.
+    parallel_cold_start: bool = False
+    cold_start_segments: int = 6
+    cold_start_min_states: int = 1 << 17
+    cold_start_max_sep: int = 1 << 16
+
     def apply(self) -> "Config":
         """Push process-wide knobs (MXU precision, compile cache) into
         effect."""

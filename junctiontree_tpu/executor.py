@@ -520,6 +520,497 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states,
     return out, True
 
 
+class BatchedProgramBuilder:
+    """Step-structured builder for the batch-aware propagate program.
+
+    The program is a STATIC schedule of steps — one collect contraction per
+    non-root clique, one distribute step per parent, one marginal per
+    variable, one partition step — over a dict of named arrays.  ``full()``
+    returns the monolithic single-jit program (the classic
+    ``batched_propagate_program`` contract); ``segments(n)`` splits the SAME
+    step list into n contiguous chunks with an explicit array carry between
+    them, each chunk its own (much smaller) XLA program.  Chunks compile
+    CONCURRENTLY, which is the round-4 answer to the big-clique cold-compile
+    wall: first-query latency drops to roughly trace + max(chunk compile)
+    while a background thread compiles the monolith for steady-state serving
+    (Engine.posterior_batch wires the swap; see _ColdStartServing).
+
+    Batch-ness of every intermediate is STATICALLY decidable (a contraction
+    output is batched iff any operand is batched — the invariant shared by
+    _bcontract, grouped_batched_contract, and _try_big_clique_route), so
+    segment interfaces are plain array pytrees with host-side metadata; a
+    trace-time assert guards the invariant.
+
+    Replaces the reference's recursive mutate-in-place passes
+    (/root/reference/junctiontree/computation.py:37-246) with an explicit
+    levelized static schedule (SURVEY §7).
+    """
+
+    def __init__(
+        self,
+        plan: Plan,
+        semiring: Semiring = SUM_PRODUCT,
+        observed: Optional[Sequence[int]] = None,
+        rescale: bool = False,
+        tp=None,
+    ):
+        self.plan = plan
+        self.semiring = semiring
+        self.rescale = rescale
+        self.tp = tp
+        tree = plan.tree
+        if observed is None:
+            observed = list(range(plan.num_vars))
+        self.observed = list(observed)
+        self.mask_slot = {v: i for i, v in enumerate(self.observed)}
+        if rescale and semiring.name != "sum_product":
+            raise ValueError(
+                "rescale=True requires the linear sum_product semiring"
+            )
+
+        # vars whose mask lands on clique c
+        cmv: List[List[int]] = [[] for _ in range(tree.num_cliques)]
+        for v in self.observed:
+            cmv[plan.var_to_clique[v]].append(v)
+        self.clique_mask_vars = cmv
+
+        from .config import DEFAULT as _CFG
+
+        self.min_states = _CFG.pallas_min_states
+        self.grouped_min = _CFG.grouped_min_states
+        self.unroll_cap = _CFG.grouped_unroll_cap
+        # Hugin division trick on the distribute pass (reference semantics,
+        # /root/reference/junctiontree/computation.py:99-136, with the same
+        # zeros-stay-zeros guard): derive each child's down-message from the
+        # clique belief by one guarded divide at separator size instead of a
+        # leave-one-out product — and the belief is reused by the marginal
+        # phase.  Invertible semirings only; big cliques keep leave-one-out
+        # so [B, clique_states] is never materialized.
+        self.divide_ok = _CFG.distribute_division and semiring.name in (
+            "sum_product", "log_sum_exp"
+        )
+        self.BELIEF_STATES_CAP = 1 << 12
+        self._flags()
+        self._build_steps()
+
+    # ---------------- static structure ----------------
+
+    def _states(self, c: int) -> int:
+        return _vars_states(self.plan.sizes, self.plan.clique_vars[c])
+
+    def _divide_path(self, p: int) -> bool:
+        return self.divide_ok and self._states(p) <= self.BELIEF_STATES_CAP
+
+    def _flags(self) -> None:
+        """Static batch-ness of every intermediate (see class docstring)."""
+        tree = self.plan.tree
+        has_mask = [bool(m) for m in self.clique_mask_vars]
+        up_b: Dict[int, bool] = {}
+        for c in reversed(tree.topo_order):
+            if c == tree.root:
+                continue
+            up_b[c] = has_mask[c] or any(
+                up_b[k] for k, _ in tree.children[c]
+            )
+        down_b: Dict[int, bool] = {}
+        bel_b: Dict[int, bool] = {}
+        for p in tree.topo_order:
+            kids = tree.children[p]
+            if not kids:
+                continue
+            base = has_mask[p] or (p != tree.root and down_b[p])
+            if self._divide_path(p):
+                b = base or any(up_b[k] for k, _ in kids)
+                bel_b[p] = b
+                for k, _ in kids:
+                    down_b[k] = b
+            else:
+                for i, (k, _) in enumerate(kids):
+                    down_b[k] = base or any(
+                        up_b[k2] for j, (k2, _) in enumerate(kids) if j != i
+                    )
+        # node belief (marginal phase) flags — includes ALL children + down
+        node_b: Dict[int, bool] = {}
+        for c in range(tree.num_cliques):
+            node_b[c] = has_mask[c] or (
+                c != tree.root and down_b.get(c, False)
+            ) or any(up_b[k] for k, _ in tree.children[c])
+        self.has_mask = has_mask
+        self.up_b = up_b
+        self.down_b = down_b
+        self.bel_b = bel_b
+        self.node_b = node_b
+        self.logoff_b = self.rescale and any(up_b.values())
+
+    def _build_steps(self) -> None:
+        """Static step list with reads/writes/cost for segmentation."""
+        plan, tree = self.plan, self.plan.tree
+        steps: List[dict] = []
+
+        def step(kind, ident, reads, writes, cost):
+            steps.append(dict(
+                kind=kind, id=ident, reads=set(reads), writes=set(writes),
+                cost=cost,
+            ))
+
+        for c in reversed(tree.topo_order):
+            if c == tree.root:
+                continue
+            reads = [("up", k) for k, _ in tree.children[c]]
+            writes = [("up", c)]
+            if self.rescale:
+                reads.append(("logoff",))
+                writes.append(("logoff",))
+            step("up", c, reads, writes, self._states(c))
+        bel_written = set()
+        for p in tree.topo_order:
+            kids = tree.children[p]
+            if not kids:
+                continue
+            reads = [("up", k) for k, _ in kids]
+            if p != tree.root:
+                reads.append(("down", p))
+            writes = [("down", k) for k, _ in kids]
+            if self._divide_path(p):
+                writes.append(("bel", p))
+                bel_written.add(p)
+            step("down", p, reads, writes, self._states(p) * len(kids))
+        for v in range(plan.num_vars):
+            c = plan.var_to_clique[v]
+            small = self._states(c) <= self.BELIEF_STATES_CAP
+            reads, writes = [], [("marg", v)]
+            if small and c in bel_written:
+                reads.append(("bel", c))
+            else:
+                reads.extend(("up", k) for k, _ in tree.children[c])
+                if c != tree.root:
+                    reads.append(("down", c))
+                if small:
+                    writes.append(("bel", c))
+                    bel_written.add(c)
+            step("marg", v, reads, writes, self._states(c))
+        if tree.root in bel_written:
+            reads = [("bel", tree.root)]
+        else:
+            reads = [("up", k) for k, _ in tree.children[tree.root]]
+        if self.rescale:
+            reads.append(("logoff",))
+        step("z", None, reads, [("z",)], self._states(tree.root))
+        self.steps = steps
+
+    # ---------------- runtime helpers ----------------
+
+    def _norm_pots(self, pots: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        # big-clique potentials are kept FLAT throughout the program (TPU
+        # compile time explodes with tensor rank — see ops/grouped.py);
+        # small ones get their scope restored (TP ships them flat)
+        plan = self.plan
+
+        def norm_pot(c, p):
+            if self._states(c) >= self.grouped_min:
+                return p.reshape((-1,)) if p.ndim != 1 else p
+            return p if p.ndim == len(plan.clique_vars[c]) \
+                else p.reshape(plan.clique_shape(c))
+
+        return [norm_pot(c, p) for c, p in enumerate(pots)]
+
+    def _contract(self, ops, ovs, outv):
+        from .ops.grouped import grouped_batched_contract
+
+        plan, semiring = self.plan, self.semiring
+        expect_b = any(vs and vs[0] == BATCH for vs in ovs)
+        routed = _try_big_clique_route(
+            plan, semiring, ops, ovs, outv, self.min_states, tp=self.tp
+        )
+        if routed is not None:
+            out, b = routed
+        else:
+            # big-operand batched contractions: grouped low-rank form —
+            # high-rank einsums cost ~58 s of TPU compile EACH; big
+            # results stay flat so no high-rank tensor ever materializes
+            big = any(
+                _vars_states(plan.sizes, vs) >= self.grouped_min
+                for vs in ovs
+            )
+            g = None
+            if big:
+                g = grouped_batched_contract(
+                    semiring, ops, ovs, outv, plan.sizes, BATCH,
+                    unroll_cap=self.unroll_cap,
+                    flat_out=_vars_states(plan.sizes, outv)
+                    >= self.grouped_min,
+                )
+            if g is not None:
+                out, b = g
+            else:
+                ops = [
+                    _unflatten(plan.sizes, o, v) for o, v in zip(ops, ovs)
+                ]
+                out, b = _bcontract(semiring, ops, ovs, outv)
+        if b != expect_b and self.tp is None:
+            raise AssertionError(
+                "static batch flag mismatch (got %r, expected %r) on "
+                "contraction -> %r" % (b, expect_b, list(outv))
+            )
+        return out, b
+
+    def _clique_ops(self, c, pots, masks):
+        ops = [pots[c]]
+        ovs: List[List[int]] = [list(self.plan.clique_vars[c])]
+        for v in self.clique_mask_vars[c]:
+            ops.append(masks[self.mask_slot[v]])
+            ovs.append([BATCH, v])
+        return ops, ovs
+
+    def _rescale_msg(self, st, m, batched, track, ctx):
+        lowp, storage = ctx[0], ctx[1]
+        axes = tuple(range(1, m.ndim)) if batched else None
+        s = jnp.max(m, axis=axes, keepdims=batched)
+        s = jnp.maximum(s, _PROG_TINY)
+        if track:
+            # logZ accumulates at full precision even for bf16 storage
+            s32 = s.astype(jnp.float32) if lowp else s
+            st[("logoff",)] = st[("logoff",)] + jnp.log(
+                s32.reshape(s32.shape[0]) if batched else s32
+            )
+        m = m / s
+        return m.astype(storage) if lowp else m
+
+    def _upv(self, c):
+        tree = self.plan.tree
+        return ([BATCH] if self.up_b[c] else []) + list(
+            self.plan.sep_vars[tree.parent_sep[c]]
+        )
+
+    def _downv(self, c):
+        tree = self.plan.tree
+        return ([BATCH] if self.down_b[c] else []) + list(
+            self.plan.sep_vars[tree.parent_sep[c]]
+        )
+
+    def _node_ops(self, c, st, pots, masks):
+        tree = self.plan.tree
+        ops, ovs = self._clique_ops(c, pots, masks)
+        if c != tree.root:
+            ops.append(st[("down", c)])
+            ovs.append(self._downv(c))
+        for k, _ in tree.children[c]:
+            ops.append(st[("up", k)])
+            ovs.append(self._upv(k))
+        return ops, ovs
+
+    # ---------------- step execution ----------------
+
+    def _run_step(self, s, st, pots, masks, ctx):
+        lowp, _storage, B = ctx
+        from .ops.grouped import grouped_divide_project
+
+        plan, tree = self.plan, self.plan.tree
+        svars = plan.sep_vars
+        kind, c = s["kind"], s["id"]
+        if kind == "up":
+            ops, ovs = self._clique_ops(c, pots, masks)
+            for k, _ in tree.children[c]:
+                ops.append(st[("up", k)])
+                ovs.append(self._upv(k))
+            out, b = self._contract(ops, ovs, svars[tree.parent_sep[c]])
+            if self.rescale:
+                out = self._rescale_msg(st, out, b, True, ctx)
+            st[("up", c)] = out
+        elif kind == "down":
+            p = c
+            kids = tree.children[p]
+            pops, povs = self._clique_ops(p, pots, masks)
+            if p != tree.root:
+                pops.append(st[("down", p)])
+                povs.append(self._downv(p))
+            if self._divide_path(p):
+                ops, ovs = list(pops), list(povs)
+                for k2, _ in kids:
+                    ops.append(st[("up", k2)])
+                    ovs.append(self._upv(k2))
+                bel, bb = self._contract(ops, ovs, list(plan.clique_vars[p]))
+                st[("bel", p)] = bel
+                belv = ([BATCH] if bb else []) + list(plan.clique_vars[p])
+                for k, sep in kids:
+                    out = grouped_divide_project(
+                        self.semiring, bel, belv, st[("up", k)],
+                        self._upv(k), plan.sizes, BATCH,
+                    )
+                    if self.rescale:
+                        out = self._rescale_msg(st, out, bb, False, ctx)
+                    st[("down", k)] = out
+                return
+            for i, (k, sep) in enumerate(kids):
+                ops, ovs = list(pops), list(povs)
+                for j, (k2, _) in enumerate(kids):
+                    if j != i:
+                        ops.append(st[("up", k2)])
+                        ovs.append(self._upv(k2))
+                out, b = self._contract(ops, ovs, svars[sep])
+                if self.rescale:
+                    out = self._rescale_msg(st, out, b, False, ctx)
+                st[("down", k)] = out
+        elif kind == "marg":
+            v = c
+            cq = plan.var_to_clique[v]
+            small = self._states(cq) <= self.BELIEF_STATES_CAP
+            if small:
+                # For small cliques, materialize the belief once and derive
+                # each variable's marginal by a single-operand reduce — far
+                # fewer and smaller HLO ops than one multi-operand
+                # contraction per variable (cuts XLA compile ~2x on
+                # many-clique models).  Big cliques keep the per-variable
+                # contraction so [B, clique_states] never materializes.
+                if ("bel", cq) not in st:
+                    ops, ovs = self._node_ops(cq, st, pots, masks)
+                    belout, _bb = self._contract(
+                        ops, ovs, list(plan.clique_vars[cq])
+                    )
+                    st[("bel", cq)] = belout
+                bel = st[("bel", cq)]
+                bv = ([BATCH] if self.node_b[cq] else []) + list(
+                    plan.clique_vars[cq]
+                )
+                out, b = self._contract([bel], [bv], [v])
+            else:
+                ops, ovs = self._node_ops(cq, st, pots, masks)
+                out, b = self._contract(ops, ovs, [v])
+            if not b:
+                out = jnp.broadcast_to(out[None, :], (B, out.shape[0]))
+            st[("marg", v)] = out.astype(jnp.float32) if lowp else out
+        elif kind == "z":
+            root = tree.root
+            if ("bel", root) in st:
+                zbel = st[("bel", root)]
+                z, b = self._contract(
+                    [zbel],
+                    [([BATCH] if self.node_b[root] else [])
+                     + list(plan.clique_vars[root])],
+                    [],
+                )
+            else:
+                rops, rovs = self._node_ops(root, st, pots, masks)
+                z, b = self._contract(rops, rovs, [])
+            if not b:
+                z = jnp.broadcast_to(z[None], (B,)) if z.ndim == 0 else z
+            if lowp:
+                z = z.astype(jnp.float32)
+            if self.rescale:
+                # logZ = log(z_scaled) + accumulated collect offsets
+                # (impossible evidence: z_scaled == 0 -> logZ = -inf)
+                z = jnp.where(
+                    z > 0, jnp.log(jnp.maximum(z, _PROG_TINY)), -jnp.inf
+                )
+                z = z + jnp.broadcast_to(st[("logoff",)], z.shape)
+            st[("z",)] = z
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+
+    def _prep(self, st, pots, masks):
+        """Normalize inputs and return (pots, masks, lowp, B)."""
+        pots = self._norm_pots(pots)
+        # storage dtype rides the potentials (config.storage_dtype via
+        # Engine._program_pots): bf16 pots pull masks and rescaled messages
+        # down to bf16 in HBM while contractions accumulate f32 (semirings
+        # sets preferred_element_type); outputs are returned f32
+        storage = jnp.result_type(pots[0]) if pots else jnp.float32
+        lowp = storage in (jnp.bfloat16, jnp.float16)
+        if lowp:
+            masks = [m.astype(storage) for m in masks]
+        B = jnp.shape(masks[0])[0] if masks else 1
+        if self.rescale and ("logoff",) not in st:
+            st[("logoff",)] = jnp.zeros(())
+        return pots, masks, (lowp, storage, B)
+
+    def full(self):
+        """``fn(pots, masks) -> (marginals list, z)`` — the monolithic
+        program (the classic batched_propagate_program contract)."""
+
+        def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
+            st: Dict[tuple, jnp.ndarray] = {}
+            pots, masks, ctx = self._prep(st, pots, masks)
+            for s in self.steps:
+                self._run_step(s, st, pots, masks, ctx)
+            margs = [st[("marg", v)] for v in range(self.plan.num_vars)]
+            return margs, st[("z",)]
+
+        return fn
+
+    # ---------------- segmentation ----------------
+
+    def _partition(self, n: int) -> List[List[dict]]:
+        """Contiguous cost-balanced split of the step list."""
+        total = sum(s["cost"] for s in self.steps)
+        target = max(1.0, total / n)
+        chunks: List[List[dict]] = [[]]
+        acc = 0.0
+        for s in self.steps:
+            if acc >= target and len(chunks) < n:
+                chunks.append([])
+                acc = 0.0
+            chunks[-1].append(s)
+            acc += s["cost"]
+        return [ch for ch in chunks if ch]
+
+    def segments(self, n: int, post=None):
+        """Split into ``n`` contiguous chunk programs.
+
+        Returns (seg_fns, carries_in) where seg_fns[i] is
+        ``fn(pots, masks, carry_tuple) -> carry_tuple'`` and carries_in[i]
+        is the ORDERED list of state keys crossing into chunk i (carry 0 is
+        empty; the final chunk's output carry is [("marg", 0..V-1), ("z",)]
+        — the assembled program result).  ``post`` optionally maps
+        ``(margs, z) -> (margs, z)`` inside the final chunk (e.g. posterior
+        normalization) so no extra dispatch is needed."""
+        chunks = self._partition(n)
+        outputs = {("marg", v) for v in range(self.plan.num_vars)}
+        outputs.add(("z",))
+        # carry into chunk i: keys written before i, read at/after i (or a
+        # final output)
+        written: set = set()
+        carries: List[List[tuple]] = []
+        for i, ch in enumerate(chunks):
+            reads_after = set(outputs) if i > 0 else set()
+            for ch2 in chunks[i:]:
+                for s in ch2:
+                    reads_after |= s["reads"]
+            carry = sorted(written & reads_after, key=repr)
+            carries.append(carry)
+            for s in ch:
+                written |= s["writes"]
+        final_keys = [("marg", v) for v in range(self.plan.num_vars)]
+        final_keys.append(("z",))
+
+        seg_fns = []
+        for i, ch in enumerate(chunks):
+            last = i == len(chunks) - 1
+            carry_in = carries[i]
+            carry_out = carries[i + 1] if not last else final_keys
+
+            def fn(pots, masks, carry, _ch=ch, _cin=carry_in,
+                   _cout=carry_out, _last=last):
+                st = dict(zip(_cin, carry))
+                pots, masks, ctx = self._prep(st, pots, masks)
+                for s in _ch:
+                    self._run_step(s, st, pots, masks, ctx)
+                if _last and post is not None:
+                    margs = [
+                        st[("marg", v)] for v in range(self.plan.num_vars)
+                    ]
+                    margs, z = post(margs, st[("z",)])
+                    for v, m in enumerate(margs):
+                        st[("marg", v)] = m
+                    st[("z",)] = z
+                return tuple(st[k] for k in _cout)
+
+            seg_fns.append(fn)
+        return seg_fns, carries
+
+
+_PROG_TINY = 1e-38
+
+
 def batched_propagate_program(
     plan: Plan,
     semiring: Semiring = SUM_PRODUCT,
@@ -541,237 +1032,125 @@ def batched_propagate_program(
     MXU-friendly linear space on models whose partition function would
     over/underflow (100+ variables).  The returned Z is then replaced by
     ``logZ`` [B] and marginals are unnormalized but bounded — normalize per
-    variable (this is what ``Engine.posterior_batch`` does)."""
-    tree = plan.tree
-    cvars = plan.clique_vars
-    svars = plan.sep_vars
-    if observed is None:
-        observed = list(range(plan.num_vars))
-    observed = list(observed)
-    mask_slot = {v: i for i, v in enumerate(observed)}
-    if rescale and semiring.name != "sum_product":
-        raise ValueError("rescale=True requires the linear sum_product semiring")
+    variable (this is what ``Engine.posterior_batch`` does).
 
-    # vars whose mask lands on clique c
-    clique_mask_vars: List[List[int]] = [[] for _ in range(tree.num_cliques)]
-    for v in observed:
-        clique_mask_vars[plan.var_to_clique[v]].append(v)
+    Implemented by ``BatchedProgramBuilder`` (which also exposes the
+    segmented cold-start form)."""
+    return BatchedProgramBuilder(
+        plan, semiring, observed, rescale=rescale, tp=tp
+    ).full()
 
-    _TINY = 1e-38
 
-    from .config import DEFAULT as _CFG
+class _ColdStartServing:
+    """Serve the batched posterior while its monolithic program compiles.
 
-    min_states = _CFG.pallas_min_states
-    grouped_min = _CFG.grouped_min_states
-    unroll_cap = _CFG.grouped_unroll_cap
-    # Hugin division trick on the distribute pass (reference semantics,
-    # /root/reference/junctiontree/computation.py:99-136, with the same
-    # zeros-stay-zeros guard): derive each child's down-message from the
-    # clique belief by one guarded divide at separator size instead of a
-    # leave-one-out product — and the belief is reused by the marginal
-    # phase.  Invertible semirings only; big cliques keep leave-one-out so
-    # [B, clique_states] is never materialized.
-    divide_ok = _CFG.distribute_division and semiring.name in (
-        "sum_product", "log_sum_exp"
-    )
+    On a compile-cache miss for a big-clique model, ``compile_parallel``
+    AOT-compiles the builder's segmented chunk programs CONCURRENTLY
+    (thread pool; XLA compiles overlap — measured 1.4-1.5x for a pair on
+    the v5e dev chip), so first-query latency is roughly trace time plus
+    the LONGEST chunk compile instead of the whole-program compile.  Each
+    call then runs the chunk executables back-to-back (a few extra
+    dispatches per step — acceptable at cold start) while one background
+    thread compiles the monolithic single-dispatch program; once ready it
+    serves every subsequent call, so steady-state throughput is EXACTLY
+    the classic path's.  Results are identical either way (same step
+    list, tested bit-close in tests/test_coldstart.py).
 
-    def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
-        # big-clique potentials are kept FLAT throughout the program (TPU
-        # compile time explodes with tensor rank — see ops/grouped.py);
-        # small ones get their scope restored (TP ships them flat)
-        def norm_pot(c, p):
-            if _vars_states(plan.sizes, cvars[c]) >= grouped_min:
-                return p.reshape((-1,)) if p.ndim != 1 else p
-            return p if p.ndim == len(cvars[c]) \
-                else p.reshape(plan.clique_shape(c))
+    The reference recompiles nothing because it compiles nothing — every
+    propagate is interpreted NumPy (SURVEY §3.3); this class exists so the
+    compiled engine's time-to-first-batch stays production-viable on
+    hailfinder-class models (round-3 verdict: ~107 s cold)."""
 
-        pots = [norm_pot(c, p) for c, p in enumerate(pots)]
-        # storage dtype rides the potentials (config.storage_dtype via
-        # Engine._program_pots): bf16 pots pull masks and rescaled messages
-        # down to bf16 in HBM while contractions accumulate f32 (semirings
-        # sets preferred_element_type); outputs are returned f32
-        storage = jnp.result_type(pots[0]) if pots else jnp.float32
-        lowp = storage in (jnp.bfloat16, jnp.float16)
-        if lowp:
-            masks = [m.astype(storage) for m in masks]
-        B = jnp.shape(masks[0])[0] if masks else 1
-        logoff = jnp.zeros(())  # collect-pass rescaling offsets (-> logZ)
+    def __init__(self, builder: "BatchedProgramBuilder", post, n_segments):
+        self.builder = builder
+        self.post = post
+        self.n = max(1, int(n_segments))
+        self._segs = None          # list of compiled chunk executables
+        self._seg_fns = None
+        self._monolith = None      # compiled monolith posterior_fn
+        self._monolith_err = None
+        self._thread = None
+        self.stats: Dict[str, float] = {}
 
-        from .ops.grouped import grouped_batched_contract
+    # -- compilation --------------------------------------------------
 
-        def contract(ops, ovs, outv):
-            routed = _try_big_clique_route(
-                plan, semiring, ops, ovs, outv, min_states, tp=tp
-            )
-            if routed is not None:
-                return routed
-            # big-operand batched contractions: grouped low-rank form —
-            # high-rank einsums cost ~58 s of TPU compile EACH; big
-            # results stay flat so no high-rank tensor ever materializes
-            big = any(
-                _vars_states(plan.sizes, vs) >= grouped_min for vs in ovs
-            )
-            if big:
-                g = grouped_batched_contract(
-                    semiring, ops, ovs, outv, plan.sizes, BATCH,
-                    unroll_cap=unroll_cap,
-                    flat_out=_vars_states(plan.sizes, outv) >= grouped_min,
+    def _specs(self, args):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            args,
+        )
+
+    def compile_parallel(self, pots, masks):
+        import concurrent.futures
+        import time as _time
+
+        t0 = _time.perf_counter()
+        seg_fns, _ = self.builder.segments(self.n, post=self.post)
+        self._seg_fns = seg_fns
+        pspec, mspec = self._specs(list(pots)), self._specs(list(masks))
+        # chain eval_shape to get each chunk's carry spec (no compilation)
+        carry_specs = [()]
+        carry = ()
+        for fn in seg_fns:
+            carry = jax.eval_shape(fn, pspec, mspec, carry)
+            carry_specs.append(carry)
+        lowered = [
+            jax.jit(fn).lower(pspec, mspec, carry_specs[i])
+            for i, fn in enumerate(seg_fns)
+        ]
+        self.stats["trace_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, len(lowered))
+        ) as pool:
+            self._segs = list(pool.map(lambda lo: lo.compile(), lowered))
+        self.stats["segments_compile_s"] = _time.perf_counter() - t0
+        return self
+
+    def start_monolith(self, pots, masks):
+        """Background-compile the single-dispatch program and swap it in."""
+        import threading
+        import time as _time
+
+        pspec, mspec = self._specs(list(pots)), self._specs(list(masks))
+        builder, post = self.builder, self.post
+
+        def work():
+            t0 = _time.perf_counter()
+            try:
+                prog = builder.full()
+
+                def posterior_fn(pots, masks):
+                    margs, z = prog(pots, masks)
+                    return post(margs, z)
+
+                compiled = jax.jit(posterior_fn).lower(pspec, mspec).compile()
+                self.stats["monolith_compile_s"] = (
+                    _time.perf_counter() - t0
                 )
-                if g is not None:
-                    return g
-            ops = [_unflatten(plan.sizes, o, v) for o, v in zip(ops, ovs)]
-            return _bcontract(semiring, ops, ovs, outv)
+                self._monolith = compiled
+            except Exception as e:  # keep serving on segments
+                self._monolith_err = e
 
-        def clique_ops(c):
-            ops = [pots[c]]
-            ovs: List[List[int]] = [list(cvars[c])]
-            for v in clique_mask_vars[c]:
-                ops.append(masks[mask_slot[v]])
-                ovs.append([BATCH, v])
-            return ops, ovs
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        return self
 
-        def rescale_msg(m, batched, track):
-            nonlocal logoff
-            axes = tuple(range(1, m.ndim)) if batched else None
-            s = jnp.max(m, axis=axes, keepdims=batched)
-            s = jnp.maximum(s, _TINY)
-            if track:
-                # logZ accumulates at full precision even for bf16 storage
-                s32 = s.astype(jnp.float32) if lowp else s
-                logoff = logoff + jnp.log(
-                    s32.reshape(s32.shape[0]) if batched else s32
-                )
-            m = m / s
-            return m.astype(storage) if lowp else m
+    @property
+    def swapped(self) -> bool:
+        return self._monolith is not None
 
-        # collect
-        up: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
-        upv: List[Optional[List[int]]] = [None] * tree.num_cliques
-        for c in reversed(tree.topo_order):
-            if c == tree.root:
-                continue
-            ops, ovs = clique_ops(c)
-            for k, s in tree.children[c]:
-                ops.append(up[k])
-                ovs.append(upv[k])
-            out, b = contract(ops, ovs, svars[tree.parent_sep[c]])
-            if rescale:
-                out = rescale_msg(out, b, track=True)
-            up[c] = out
-            upv[c] = ([BATCH] if b else []) + list(svars[tree.parent_sep[c]])
+    # -- serving ------------------------------------------------------
 
-        # distribute
-        from .ops.grouped import grouped_divide_project
-
-        BELIEF_STATES_CAP = 1 << 12
-        belief_cache: Dict[int, tuple] = {}
-        down: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
-        downv: List[Optional[List[int]]] = [None] * tree.num_cliques
-        for p in tree.topo_order:
-            kids = tree.children[p]
-            if not kids:
-                continue
-            pops, povs = clique_ops(p)
-            if p != tree.root:
-                pops.append(down[p])
-                povs.append(downv[p])
-            if divide_ok and _vars_states(
-                plan.sizes, cvars[p]
-            ) <= BELIEF_STATES_CAP:
-                ops = list(pops)
-                ovs = list(povs)
-                for k2, _ in kids:
-                    ops.append(up[k2])
-                    ovs.append(upv[k2])
-                bel, bb = contract(ops, ovs, list(cvars[p]))
-                belief_cache[p] = (bel, bb)
-                belv = ([BATCH] if bb else []) + list(cvars[p])
-                for k, s in kids:
-                    out = grouped_divide_project(
-                        semiring, bel, belv, up[k], upv[k],
-                        plan.sizes, BATCH,
-                    )
-                    if rescale:
-                        out = rescale_msg(out, bb, track=False)
-                    down[k] = out
-                    downv[k] = ([BATCH] if bb else []) + list(svars[s])
-                continue
-            for i, (k, s) in enumerate(kids):
-                ops = list(pops)
-                ovs = list(povs)
-                for j, (k2, _) in enumerate(kids):
-                    if j != i:
-                        ops.append(up[k2])
-                        ovs.append(upv[k2])
-                out, b = contract(ops, ovs, svars[s])
-                if rescale:
-                    out = rescale_msg(out, b, track=False)
-                down[k] = out
-                downv[k] = ([BATCH] if b else []) + list(svars[s])
-
-        # per-variable marginals + partition at the root
-        def node_ops(c):
-            ops, ovs = clique_ops(c)
-            if c != tree.root:
-                ops.append(down[c])
-                ovs.append(downv[c])
-            for k, s in tree.children[c]:
-                ops.append(up[k])
-                ovs.append(upv[k])
-            return ops, ovs
-
-        # For small cliques, materialize the belief once and derive each
-        # variable's marginal by a single-operand reduce — far fewer and
-        # smaller HLO ops than one multi-operand contraction per variable
-        # (cuts XLA compile time ~2x on many-clique models).  Big cliques
-        # keep the per-variable contraction so [B, clique_states] is never
-        # materialized.  Beliefs already materialized by the distribute
-        # pass's division path are reused from belief_cache.
-        def clique_belief(c):
-            ent = belief_cache.get(c)
-            if ent is None:
-                ops, ovs = node_ops(c)
-                out, b = contract(ops, ovs, list(cvars[c]))
-                belief_cache[c] = ent = (out, b)
-            return ent
-
-        margs: List[jnp.ndarray] = []
-        for v in range(plan.num_vars):
-            c = plan.var_to_clique[v]
-            states = 1
-            for x in cvars[c]:
-                states *= plan.sizes[x]
-            if states <= BELIEF_STATES_CAP:
-                bel, b = clique_belief(c)
-                bv = ([BATCH] if b else []) + list(cvars[c])
-                out, b = contract([bel], [bv], [v])
-            else:
-                ops, ovs = node_ops(c)
-                out, b = contract(ops, ovs, [v])
-            if not b:
-                out = jnp.broadcast_to(out[None, :], (B, out.shape[0]))
-            margs.append(out.astype(jnp.float32) if lowp else out)
-
-        if tree.root in belief_cache:
-            zbel, zb = belief_cache[tree.root]
-            z, b = contract(
-                [zbel], [([BATCH] if zb else []) + list(cvars[tree.root])], []
-            )
-        else:
-            rops, rovs = node_ops(tree.root)
-            z, b = contract(rops, rovs, [])
-        if not b:
-            z = jnp.broadcast_to(z[None], (B,)) if z.ndim == 0 else z
-        if lowp:
-            z = z.astype(jnp.float32)
-        if rescale:
-            # return logZ = log(z_scaled) + accumulated collect offsets
-            # (impossible evidence: z_scaled == 0 -> logZ = -inf)
-            z = jnp.where(z > 0, jnp.log(jnp.maximum(z, _TINY)), -jnp.inf)
-            z = z + jnp.broadcast_to(logoff, z.shape)
-        return margs, z
-
-    return fn
+    def __call__(self, pots, masks):
+        mono = self._monolith
+        if mono is not None:
+            return mono(pots, masks)
+        carry = ()
+        for seg in self._segs:
+            carry = seg(pots, masks, carry)
+        V = self.builder.plan.num_vars
+        return list(carry[:V]), carry[V]
 
 
 def _unflatten_pots(plan: Plan, pots):
@@ -1285,11 +1664,26 @@ class Engine:
         lowp = dtype == jnp.bfloat16  # full-precision pots pass through as-is
         if self._pots_prog is None or self._pots_prog[0] != dtype:
             gmin = _CFG.grouped_min_states
-            out = []
-            for c, p in enumerate(pots):
-                states = _vars_states(self.plan.sizes, self.plan.clique_vars[c])
-                p = p.reshape((-1,)) if states >= gmin and p.ndim != 1 else p
-                out.append(p.astype(dtype) if lowp and p.dtype != dtype else p)
+            flat = [
+                _vars_states(self.plan.sizes, self.plan.clique_vars[c])
+                >= gmin and p.ndim != 1
+                for c, p in enumerate(pots)
+            ]
+
+            # ONE jitted program for all reshapes/casts: issuing them
+            # eagerly costs one tiny compile PER POTENTIAL — through the
+            # remote-compile tunnel that was 18 x 1.4 s = 26 s of the
+            # hailfinder-class cold start (round-4 profile)
+            def _prep(ps):
+                out = []
+                for f, p in zip(flat, ps):
+                    q = p.reshape((-1,)) if f else p
+                    out.append(
+                        q.astype(dtype) if lowp and q.dtype != dtype else q
+                    )
+                return out
+
+            out = jax.jit(_prep)(list(pots)) if pots else []
             self._pots_prog = (dtype, out)
         return self._pots_prog[1]
 
@@ -1516,12 +1910,8 @@ class Engine:
                 return fn(pots, masks)
 
             if sr.name == "sum_product":
-                prog = batched_propagate_program(
-                    self.plan, sr, list(ids), rescale=True, tp=self._tp()
-                )
 
-                def posterior_fn(pots, masks):
-                    margs, logz = prog(pots, masks)
+                def _post(margs, logz):
                     normed = [
                         m / jnp.maximum(
                             jnp.sum(m, axis=-1, keepdims=True), 1e-38
@@ -1529,6 +1919,51 @@ class Engine:
                         for m in margs
                     ]
                     return normed, logz
+
+                from .config import DEFAULT as _CFG
+
+                _st = self.plan.stats()
+                if (
+                    _CFG.parallel_cold_start
+                    and self._tp() is None
+                    and self._mask_sharding is None
+                    and _st["max_clique_states"]
+                    >= _CFG.cold_start_min_states
+                    # huge separators make chunk-boundary carries cost GBs
+                    # per call and chunk compiles SLOWER than the monolith
+                    # (measured on hailfinder-class: 198 s of chunk
+                    # compiles vs 85 s monolith, 44 ms interim steps) —
+                    # segmentation only pays when boundaries are small
+                    and _st["max_sep_states"] <= _CFG.cold_start_max_sep
+                ):
+                    # big-clique cold start: compile chunk programs
+                    # concurrently, serve on them, swap in the monolith
+                    # when its background compile finishes.  AOT-compiled
+                    # executables are batch-shape-specialized, so the cache
+                    # key carries B (the classic jit path is polymorphic).
+                    B0 = int(masks[0].shape[0]) if masks else 1
+                    ckey = ("posterior_cold", ids, B0)
+                    serving = self._batched_cache.get(ckey)
+                    if serving is None:
+                        builder = BatchedProgramBuilder(
+                            self.plan, sr, list(ids), rescale=True
+                        )
+                        serving = _ColdStartServing(
+                            builder, _post, _CFG.cold_start_segments
+                        )
+                        with TIMERS.phase("engine.cold_segments_compile"):
+                            serving.compile_parallel(pots, masks)
+                        serving.start_monolith(pots, masks)
+                        self._batched_cache[ckey] = serving
+                    with TIMERS.phase("engine.trace_compile"):
+                        return serving(pots, masks)
+
+                prog = batched_propagate_program(
+                    self.plan, sr, list(ids), rescale=True, tp=self._tp()
+                )
+
+                def posterior_fn(pots, masks):
+                    return _post(*prog(pots, masks))
 
             else:
                 prog = batched_propagate_program(self.plan, sr, list(ids))
