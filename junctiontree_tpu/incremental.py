@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .executor import BATCH, _bcontract
+from .executor import BATCH, BatchedProgramBuilder
 from .ops.semirings import Semiring
 from .schedule import Plan
 
@@ -71,6 +71,11 @@ def collect_program(plan: Plan, semiring: Semiring, observed: Sequence[int]):
             b = b or batched[k]
         batched[c] = b
 
+    # route big-clique contractions through the executor's grouped /
+    # measured-kernel forms instead of plain high-rank einsums (round-4:
+    # the delta path's big-clique steps were the gap to the full program)
+    contract = BatchedProgramBuilder(plan, semiring, observed)._contract
+
     def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
         ups: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
         offs: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
@@ -85,9 +90,7 @@ def collect_program(plan: Plan, semiring: Semiring, observed: Sequence[int]):
             for k, s in tree.children[c]:
                 ops.append(ups[k])
                 ovs.append(([BATCH] if batched[k] else []) + list(svars[s]))
-            out, b = _bcontract(
-                semiring, ops, ovs, svars[tree.parent_sep[c]]
-            )
+            out, b = contract(ops, ovs, svars[tree.parent_sep[c]])
             ups[c], offs[c] = _rescale(out, b)
         return ups, offs
 
@@ -134,6 +137,7 @@ def delta_program(
 
     # downward walk: union of root-to-query-clique paths, parents first
     qclique = {v: plan.var_to_clique[v] for v in query_vars}
+    contract = BatchedProgramBuilder(plan, semiring, all_vars)._contract
     need_down: set = set()
     for c in set(qclique.values()):
         while c != root and c not in need_down:
@@ -168,9 +172,7 @@ def delta_program(
                 o, v = up_operand(k, s)
                 ops.append(o)
                 ovs.append(v)
-            out, b = _bcontract(
-                semiring, ops, ovs, svars[tree.parent_sep[c]]
-            )
+            out, b = contract(ops, ovs, svars[tree.parent_sep[c]])
             ups[c], offs[c] = _rescale(out, b)
 
         # -- logZ at the root (collect offsets make it exact) --
@@ -179,7 +181,7 @@ def delta_program(
             o, v = up_operand(k, s)
             rops.append(o)
             rovs.append(v)
-        z, zb = _bcontract(semiring, rops, rovs, [])
+        z, zb = contract(rops, rovs, [])
         total_off = jnp.zeros(())
         for c in range(tree.num_cliques):
             if c != root:
@@ -202,9 +204,7 @@ def delta_program(
                     o, v = up_operand(k, s)
                     ops.append(o)
                     ovs.append(v)
-            out, b = _bcontract(
-                semiring, ops, ovs, svars[tree.parent_sep[c]]
-            )
+            out, b = contract(ops, ovs, svars[tree.parent_sep[c]])
             out, _ = _rescale(out, b)  # scale cancels in the normalization
             down[c] = out
             downv[c] = ([BATCH] if b else []) + list(svars[tree.parent_sep[c]])
@@ -222,7 +222,7 @@ def delta_program(
                 o, vv = up_operand(k, s)
                 ops.append(o)
                 ovs.append(vv)
-            m, b = _bcontract(semiring, ops, ovs, [v])
+            m, b = contract(ops, ovs, [v])
             if not b:
                 m = jnp.broadcast_to(m[None, :], (B, m.shape[0]))
             m = m / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), _TINY)
