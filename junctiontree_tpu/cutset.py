@@ -427,7 +427,18 @@ class CutsetEngine:
             # CHUNKED (lax.map batch_size) — a full vmap over S would
             # materialize [S, B, clique_states] beliefs (12.7 GB on
             # hailfinder-class at S=432, B=256); per chunk it's bounded
-            # (chunk auto-sized from the HBM budget, _chunk_for)
+            # (chunk auto-sized from the HBM budget, _chunk_for).
+            #
+            # Round-4 negative result: swapping this inner for the
+            # batch-aware program (unbatched pots, message-scale memory)
+            # to cut the [chunk, B, clique_states] belief traffic compiled
+            # 214 s on the hailfinder-class REDUCED model (mixed
+            # cardinalities drive the grouped-unroll path's op count up;
+            # the same program on the full model compiles in ~80 s) —
+            # 7x of this path's 30 s, a regression.  The chunked map is
+            # HBM-bound, not idle (2.3 s/step ~ the belief-buffer traffic
+            # at 819 GB/s), so chunk overlap cannot buy the 1.5x either;
+            # traffic reduction needs a compile-cheap message-form inner.
             inner = jax.vmap(single, in_axes=(None, 0))
 
             def prog(pots, masks, logw, onehots):
