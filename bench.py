@@ -80,6 +80,7 @@ def steady_interleaved(fns, args, iters=10, rounds=6):
 
 
 RESULTS: list = []  # per-case records, written to BENCH_all.json
+RAN_CASES: list = []  # case names executed this invocation
 
 
 def record(name, value, unit, **extra):
@@ -912,21 +913,34 @@ CASES = {
     "scaling": bench_scaling,
 }
 
-# cases that run in a fresh subprocess so earlier cases' compile-queue state
-# can't pollute their measurements (round-2 loopy compile anomaly)
-ISOLATED = {"loopy"}
+# cases that run in a fresh subprocess: loopy so earlier cases' compile-queue
+# state can't pollute its measurement (round-2 anomaly), and the
+# capacity-bound HBM-filling cases (hailfinder-class at max batch) so their
+# peak allocations can't fragment the device for whatever runs next
+# (round-4: everything after the B=256 bf16 case hit RESOURCE_EXHAUSTED)
+ISOLATED = {"loopy", "bf16", "classic_bns", "cutset"}
 
 
 def run_case(name):
+    import gc
+
+    RAN_CASES.append(name)
     fn = CASES[name]
     try:
         fn()
     except Exception as e:  # secondary benches must not kill the run
         log(f"# {name} failed: {type(e).__name__}: {e}")
-        record(name, None, "error", error=f"{type(e).__name__}: {e}")
+        record(f"case-failure: {name}", None, "error",
+               error=f"{type(e).__name__}: {e}")
+    # engines hold device buffers through reference cycles (closures over
+    # self); collect so each case starts with clean HBM — without this the
+    # capacity-bound bf16 case (B=256 peaks ~15.7 of 15.75 GiB) left later
+    # cases RESOURCE_EXHAUSTED (round-4 full-run failure mode)
+    gc.collect()
 
 
 def run_isolated(name):
+    RAN_CASES.append(name)
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         tmp = f.name
     try:
@@ -1024,7 +1038,17 @@ def _write_artifacts(json_all):
                 try:
                     with open(path) as f:
                         for r in json.load(f):
-                            merged[r.get("metric")] = r
+                            m = r.get("metric") or ""
+                            # a case that ran THIS invocation clears its
+                            # old failure tombstone (re-added below if it
+                            # failed again); legacy bare-name tombstones
+                            # (metric == case name, unit == "error") too
+                            if m.startswith("case-failure: ") and \
+                                    m.split(": ", 1)[1] in RAN_CASES:
+                                continue
+                            if m in RAN_CASES and r.get("unit") == "error":
+                                continue
+                            merged[m] = r
                 except (OSError, ValueError):
                     pass
             for r in RESULTS:

@@ -908,7 +908,7 @@ class BatchedProgramBuilder:
             raise AssertionError(kind)
 
     def _prep(self, st, pots, masks):
-        """Normalize inputs and return (pots, masks, lowp, B)."""
+        """Normalize inputs; returns (pots, masks, ctx=(lowp, storage, B))."""
         pots = self._norm_pots(pots)
         # storage dtype rides the potentials (config.storage_dtype via
         # Engine._program_pots): bf16 pots pull masks and rescaled messages
