@@ -68,3 +68,18 @@ def construct_junction_tree(
     tree = build_junction_tree(int_cliques, int_sizes)
     separators = [[rev[v] for v in s] for s in tree.separators]
     return tree.to_nested(), separators
+
+
+def find_subtree(tree, clique_ix: int) -> bool:
+    """True iff a subtree rooted at node ``clique_ix`` exists in the
+    nested-list ``tree`` (reference construction.py:604-621 by name and
+    contract; the compiler itself uses union-find over edge lists instead
+    — treebuild.build_junction_tree — so this exists purely for reference
+    API parity).  Exactly mirrors the reference's recursion: child entries
+    are ``(sep_ix, subtree)`` tuples, so OFFSET SEPARATOR ids match too
+    (node_list = maxcliques ++ separators, junctiontree.py:317-318)."""
+    if tree[0] == clique_ix:
+        return True
+    if len(tree) == 1:
+        return False
+    return any(find_subtree(child, clique_ix) for child in tree[1:])

@@ -218,3 +218,29 @@ def test_anneal_not_worse_and_correct():
     expect = brute_force_marginals(factors, sizes, values, factors)
     for o, e in zip(out, expect):
         np.testing.assert_allclose(o, e, rtol=1e-6)
+
+
+def test_find_subtree_reference_contract():
+    """Same-name parity with reference construction.py:604-621 (the
+    compiler uses union-find instead; this is the facade export)."""
+    from junctiontree_tpu.construction import (
+        construct_junction_tree, find_subtree, find_triangulation,
+    )
+
+    factors = [["a", "b"], ["b", "c"], ["c", "d"], ["x", "y"]]
+    sizes = {"a": 2, "b": 2, "c": 2, "d": 2, "x": 3, "y": 3}
+    _, cliques, _ = find_triangulation(factors, sizes)
+    tree, seps = construct_junction_tree(cliques, sizes)
+    for c in range(len(cliques)):
+        assert find_subtree(tree, c)
+    assert not find_subtree(tree, len(cliques) + 99)
+    # matches the reference implementation bit-for-bit when importable
+    import os, sys
+    if os.path.isdir("/root/reference/junctiontree"):
+        sys.path.insert(0, "/root/reference")
+        try:
+            from junctiontree.construction import find_subtree as ref_find
+            for c in range(len(cliques) + 3):
+                assert find_subtree(tree, c) == bool(ref_find(tree, c))
+        finally:
+            sys.path.remove("/root/reference")
