@@ -520,6 +520,50 @@ def _try_big_clique_route(plan, semiring, ops, ovs, out_vars, min_states,
     return out, True
 
 
+def routed_contract(plan, semiring, ops, ovs, outv, *, min_states,
+                    grouped_min, unroll_cap, tp=None):
+    """One contraction through the executor's routing ladder: factored
+    big-clique kernel (measured pallas/XLA) -> grouped low-rank form ->
+    plain batched einsum.  Returns (result, batched)."""
+    from .ops.grouped import grouped_batched_contract
+
+    routed = _try_big_clique_route(
+        plan, semiring, ops, ovs, outv, min_states, tp=tp
+    )
+    if routed is not None:
+        return routed
+    # big-operand batched contractions: grouped low-rank form — high-rank
+    # einsums cost ~58 s of TPU compile EACH; big results stay flat so no
+    # high-rank tensor ever materializes
+    big = any(_vars_states(plan.sizes, vs) >= grouped_min for vs in ovs)
+    if big:
+        g = grouped_batched_contract(
+            semiring, ops, ovs, outv, plan.sizes, BATCH,
+            unroll_cap=unroll_cap,
+            flat_out=_vars_states(plan.sizes, outv) >= grouped_min,
+        )
+        if g is not None:
+            return g
+    ops = [_unflatten(plan.sizes, o, v) for o, v in zip(ops, ovs)]
+    return _bcontract(semiring, ops, ovs, outv)
+
+
+def make_contract(plan, semiring, tp=None):
+    """Routed-contraction closure with the current config's thresholds —
+    the lightweight face of BatchedProgramBuilder._contract for program
+    builders that only need contractions, not a step schedule
+    (incremental.py's collect/delta programs)."""
+    from .config import DEFAULT as _CFG
+    from functools import partial
+
+    return partial(
+        routed_contract, plan, semiring,
+        min_states=_CFG.pallas_min_states,
+        grouped_min=_CFG.grouped_min_states,
+        unroll_cap=_CFG.grouped_unroll_cap, tp=tp,
+    )
+
+
 class BatchedProgramBuilder:
     """Step-structured builder for the batch-aware propagate program.
 
@@ -640,7 +684,6 @@ class BatchedProgramBuilder:
         self.down_b = down_b
         self.bel_b = bel_b
         self.node_b = node_b
-        self.logoff_b = self.rescale and any(up_b.values())
 
     def _build_steps(self) -> None:
         """Static step list with reads/writes/cost for segmentation."""
@@ -715,38 +758,12 @@ class BatchedProgramBuilder:
         return [norm_pot(c, p) for c, p in enumerate(pots)]
 
     def _contract(self, ops, ovs, outv):
-        from .ops.grouped import grouped_batched_contract
-
-        plan, semiring = self.plan, self.semiring
-        expect_b = any(vs and vs[0] == BATCH for vs in ovs)
-        routed = _try_big_clique_route(
-            plan, semiring, ops, ovs, outv, self.min_states, tp=self.tp
+        out, b = routed_contract(
+            self.plan, self.semiring, ops, ovs, outv,
+            min_states=self.min_states, grouped_min=self.grouped_min,
+            unroll_cap=self.unroll_cap, tp=self.tp,
         )
-        if routed is not None:
-            out, b = routed
-        else:
-            # big-operand batched contractions: grouped low-rank form —
-            # high-rank einsums cost ~58 s of TPU compile EACH; big
-            # results stay flat so no high-rank tensor ever materializes
-            big = any(
-                _vars_states(plan.sizes, vs) >= self.grouped_min
-                for vs in ovs
-            )
-            g = None
-            if big:
-                g = grouped_batched_contract(
-                    semiring, ops, ovs, outv, plan.sizes, BATCH,
-                    unroll_cap=self.unroll_cap,
-                    flat_out=_vars_states(plan.sizes, outv)
-                    >= self.grouped_min,
-                )
-            if g is not None:
-                out, b = g
-            else:
-                ops = [
-                    _unflatten(plan.sizes, o, v) for o, v in zip(ops, ovs)
-                ]
-                out, b = _bcontract(semiring, ops, ovs, outv)
+        expect_b = any(vs and vs[0] == BATCH for vs in ovs)
         if b != expect_b and self.tp is None:
             raise AssertionError(
                 "static batch flag mismatch (got %r, expected %r) on "
@@ -1539,8 +1556,7 @@ class Engine:
         plan = self.plan
         if isinstance(mask_batch, dict):
             by_id = {
-                (k if isinstance(k, int) else plan.table.id_of(k)):
-                jnp.asarray(v)
+                plan.table.id_of(k): jnp.asarray(v)
                 for k, v in mask_batch.items()
             }
             B = next(iter(by_id.values())).shape[0] if by_id else 1
@@ -1939,10 +1955,12 @@ class Engine:
                     # big-clique cold start: compile chunk programs
                     # concurrently, serve on them, swap in the monolith
                     # when its background compile finishes.  AOT-compiled
-                    # executables are batch-shape-specialized, so the cache
-                    # key carries B (the classic jit path is polymorphic).
+                    # executables are shape- AND dtype-specialized, so the
+                    # cache key carries B, the storage dtype, and the mode
+                    # (the classic jit path retraces transparently).
                     B0 = int(masks[0].shape[0]) if masks else 1
-                    ckey = ("posterior_cold", ids, B0)
+                    ckey = ("posterior_cold", mode, ids, B0,
+                            jnp.dtype(self._storage_dtype()).name)
                     serving = self._batched_cache.get(ckey)
                     if serving is None:
                         builder = BatchedProgramBuilder(
@@ -2059,7 +2077,7 @@ class Engine:
             v = plan.table.id_of(label)
             mk = np.full((1, plan.sizes[v]), -np.inf, dtype=np.float32)
             mk[0, int(state)] = 0.0
-            masks[v] = mk
+            masks[label] = mk
         assign_arr, score = self._tree_map_batch(masks)
         assign_arr = np.asarray(assign_arr)  # one device->host transfer
         out = {
@@ -2138,7 +2156,7 @@ class Engine:
                 v = plan.table.id_of(label)
                 mk = np.full((1, plan.sizes[v]), -np.inf, dtype=np.float32)
                 mk[0, int(state)] = 0.0
-                logmasks[v] = mk
+                logmasks[label] = mk
             assign, scores = self.top_k_assignments_batch(logmasks, k)
             assign = np.asarray(assign)[0]   # [K, num_vars]
             scores = np.asarray(scores)[0]   # [K]
@@ -2194,9 +2212,11 @@ class Engine:
     def top_k_assignments_batch(self, mask_batch, k: int = 5):
         """Batched exact k-best decoding on any junction tree.
 
-        ``mask_batch``: dict {var label or id: [B, size_v]} LOG-space masks
-        (0 / -inf).  Returns (assign [B, K, num_vars] int32, scores [B, K]
-        descending) device arrays with K = min(k, total assignments) —
+        ``mask_batch``: dict {var label: [B, size_v]} LOG-space masks
+        (0 / -inf; labels resolve through the plan's label table like every
+        other mask API).  Returns (assign [B, K, num_vars] int32, scores
+        [B, K] descending) device arrays with K = min(k, total
+        assignments) —
         ranked DISTINCT joint assignments per batch element.  Evidence-
         violating entries (score < -1e29) appear only when fewer than K
         feasible assignments exist.
@@ -2211,8 +2231,7 @@ class Engine:
         plan = self.plan
         pots = self._require_pots()
         logmasks = {
-            (kk if isinstance(kk, int) else plan.table.id_of(kk)):
-            jnp.asarray(v)
+            plan.table.id_of(kk): jnp.asarray(v)
             for kk, v in mask_batch.items()
         }
         if not logmasks:
@@ -2237,8 +2256,7 @@ class Engine:
         plan = self.plan
         pots = self._require_pots()
         logmasks = {
-            (k if isinstance(k, int) else plan.table.id_of(k)):
-            jnp.asarray(v)
+            plan.table.id_of(k): jnp.asarray(v)
             for k, v in mask_batch.items()
         }
         if not logmasks:
@@ -2332,21 +2350,39 @@ class Engine:
         posterior program under ``mask_batch`` (same format as
         ``posterior_batch``): argument / output / temp / generated-code
         bytes, the device HBM limit when the backend reports one, and
-        whether the program fits.  AOT-lowers and compiles the program —
-        cheap when it is already in the persistent compile cache; pass the
-        result to ``max_feasible_batch(analysis=...)`` to size serving
-        batches from measured peak usage instead of the analytic bound.
+        whether the program fits.  Analyzes the SAME program
+        ``posterior_batch``'s general path compiles (rescaled linear +
+        normalization for sum-product engines), so when that path has
+        already served this mask signature the AOT lowering hits the
+        persistent compile cache; pass the result to
+        ``max_feasible_batch(analysis=...)`` to size serving batches from
+        measured peak usage instead of the analytic bound.  Chain- and
+        fused-routed engines are still analyzed through the general
+        program (their specialized programs use strictly less memory).
 
         The reference has no notion of memory planning at all (NumPy
         allocates per einsum call); this is the SURVEY §5 donation/aliasing
         observability row."""
         pots = self._program_pots()
         ids, masks = self._masks_to_program_args(mask_batch)
-        fn = jax.jit(
-            batched_propagate_program(
-                self.plan, self.semiring, list(ids), tp=self._tp()
-            )
+        sr = self.semiring
+        prog = batched_propagate_program(
+            self.plan, sr, list(ids),
+            rescale=sr.name == "sum_product", tp=self._tp(),
         )
+
+        def posterior_fn(pots, masks):
+            margs, z = prog(pots, masks)
+            if sr.name == "sum_product":
+                margs = [
+                    m / jnp.maximum(
+                        jnp.sum(m, axis=-1, keepdims=True), 1e-38
+                    )
+                    for m in margs
+                ]
+            return margs, z
+
+        fn = jax.jit(posterior_fn)
         stats = fn.lower(pots, masks).compile().memory_analysis()
         B = int(masks[0].shape[0]) if masks else 1
         out = dict(

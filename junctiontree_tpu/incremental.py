@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .executor import BATCH, BatchedProgramBuilder
+from .executor import BATCH, make_contract
 from .ops.semirings import Semiring
 from .schedule import Plan
 
@@ -74,7 +74,7 @@ def collect_program(plan: Plan, semiring: Semiring, observed: Sequence[int]):
     # route big-clique contractions through the executor's grouped /
     # measured-kernel forms instead of plain high-rank einsums (round-4:
     # the delta path's big-clique steps were the gap to the full program)
-    contract = BatchedProgramBuilder(plan, semiring, observed)._contract
+    contract = make_contract(plan, semiring)
 
     def fn(pots: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray]):
         ups: List[Optional[jnp.ndarray]] = [None] * tree.num_cliques
@@ -137,7 +137,7 @@ def delta_program(
 
     # downward walk: union of root-to-query-clique paths, parents first
     qclique = {v: plan.var_to_clique[v] for v in query_vars}
-    contract = BatchedProgramBuilder(plan, semiring, all_vars)._contract
+    contract = make_contract(plan, semiring)
     need_down: set = set()
     for c in set(qclique.values()):
         while c != root and c not in need_down:

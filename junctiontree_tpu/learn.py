@@ -84,7 +84,10 @@ def fit_mle(
             jnp.zeros(tuple(plan.sizes[v] for v in f)) for f in plan.factors
         ]
     else:
-        thetas = [jnp.asarray(t) for t in init_thetas]
+        # COPY warm-start arrays: the donated step would otherwise
+        # invalidate the caller's own buffers (jnp.asarray is a no-op
+        # for jax arrays)
+        thetas = [jnp.array(t, copy=True) for t in init_thetas]
 
     loss_grad = jax.jit(
         jax.value_and_grad(lambda th: -log_likelihood(plan, th, emp))
@@ -212,7 +215,10 @@ def fit_mle_missing(
             jnp.zeros(tuple(plan.sizes[v] for v in f)) for f in plan.factors
         ]
     else:
-        thetas = [jnp.asarray(t) for t in init_thetas]
+        # COPY warm-start arrays: the donated step would otherwise
+        # invalidate the caller's own buffers (jnp.asarray is a no-op
+        # for jax arrays)
+        thetas = [jnp.array(t, copy=True) for t in init_thetas]
 
     obs_logz = _obs_logz_program(plan)
 

@@ -127,10 +127,30 @@ def decide(R1: int, R2: int, C: int, B: int, dtype: str = "f32") -> str:
         if ent is not None and (key in _VALIDATED or ent.get("error")):
             # validated this process, or a permanent compile-failure route
             return ent["winner"]
-    fresh = measure(R1, R2, C, B, dtype=dtype)
+    try:
+        fresh = measure(R1, R2, C, B, dtype=dtype)
+    except Exception as e:
+        # the XLA-candidate timing has no internal guard; a transient
+        # failure there (busy chip) must not crash the caller's trace —
+        # serve the cached winner if any, else the safe XLA route, and
+        # persist nothing so a later process re-measures
+        with _LOCK:
+            ent = _load().get(key)
+        return ent["winner"] if ent else "xla"
     with _LOCK:
         cache = _load()
         ent = cache.get(key)
+        if fresh.get("error") and ent is not None and not ent.get("error"):
+            # transient revalidation failure (e.g. RESOURCE_EXHAUSTED on a
+            # busy chip with serving buffers live) must NOT clobber a good
+            # persisted decision with a permanent tombstone: keep the
+            # incumbent, note the failure, and leave the key unvalidated so
+            # the next process retries the measurement
+            ent = dict(ent, revalidation_error=fresh["error"],
+                       ts=round(time.time(), 1))
+            cache[key] = ent
+            _save()
+            return ent["winner"]
         if ent is None or ent.get("error") or fresh.get("error"):
             new = fresh
         else:

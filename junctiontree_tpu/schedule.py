@@ -53,6 +53,13 @@ class Plan:
 
     # ---- observability: compile stats (SURVEY.md §5 tracing row) ----
     def stats(self) -> Dict[str, Any]:
+        # memoized: the plan is immutable after compile, and hot serving
+        # paths (e.g. the cold-start gate in Engine.posterior_batch)
+        # consult stats per call — the O(cliques x width) recompute is
+        # pure waste there
+        cached = getattr(self, "_stats_cache", None)
+        if cached is not None:
+            return dict(cached)
         clique_states = [
             int(_prod(self.sizes[v] for v in c)) for c in self.tri.maxcliques
         ]
@@ -65,7 +72,7 @@ class Plan:
             int(_prod(self.sizes[v] for v in s))
             for s in self.tree.separators
         ]
-        return {
+        out = {
             "num_vars": self.num_vars,
             "num_factors": len(self.factors),
             "num_cliques": self.tri.num_cliques,
@@ -78,6 +85,8 @@ class Plan:
             "max_sep_states": max(sep_states) if sep_states else 0,
             "tree_depth": depth,
         }
+        object.__setattr__(self, "_stats_cache", out)
+        return dict(out)
 
     # ---- checkpoint/resume of the compile artifact (SURVEY.md §5): the
     # reference keeps its compiled tree only in memory (junctiontree.py:

@@ -80,16 +80,17 @@ def parse_bif(text: str) -> Tuple[List[List[str]], Dict[str, int], List[np.ndarr
             row = [float(x) for x in re.split(r"[,\s]+", tm.group(1).strip())
                    if x]
             if parents:
-                # flat table in parent-major order (child varies fastest)
+                # BIF spec table order: the CHILD state varies SLOWEST
+                # (the spec's dog-problem `probability (light-on |
+                # family-out) { table 0.6 0.05 0.4 0.95; }` means
+                # P(t|t)=0.6, P(t|f)=0.05, P(f|t)=0.4, P(f|f)=0.95) —
+                # i.e. exactly [child, parents...] C-order, our layout
                 want = int(np.prod(shape))
                 if len(row) != want:
                     raise BifError(
                         f"{child}: table has {len(row)} entries, want {want}"
                     )
-                arr = np.asarray(row).reshape(
-                    [sizes[p] for p in parents] + [sizes[child]]
-                )
-                table = np.moveaxis(arr, -1, 0)
+                table = np.asarray(row).reshape(shape)
             else:
                 if len(row) != sizes[child]:
                     raise BifError(

@@ -171,3 +171,56 @@ def test_measure_survives_kernel_compile_failure(monkeypatch):
     rec = autotune.measure(4, 8, 3, 5)
     assert rec["winner"] == "xla"
     assert "pallas compile failed" in rec["error"]
+
+
+def test_transient_revalidation_failure_keeps_good_entry(monkeypatch):
+    """A transient measure failure during per-process revalidation must not
+    clobber a healthy persisted decision with a permanent error tombstone
+    (round-4 review): the incumbent keeps serving and the key stays
+    unvalidated so a later process retries."""
+    good = {
+        "f32:8x128x128:B256": dict(
+            winner="pallas", pallas_ms=1.0, xla_ms=2.0, flops=1, hbm_bytes=1,
+            achieved_tflops=0.0, roofline_fraction=0.0,
+        )
+    }
+    with open(autotune.cache_path(), "w") as f:
+        json.dump(good, f)
+
+    def failing_measure(R1, R2, C, B, dtype="f32"):
+        return dict(winner="xla", pallas_ms=None, xla_ms=None, flops=1,
+                    hbm_bytes=1, error="pallas compile failed: ResourceExhausted")
+
+    monkeypatch.setattr(autotune, "measure", failing_measure)
+    assert autotune.decide(8, 128, 128, 256) == "pallas"  # incumbent kept
+    with open(autotune.cache_path()) as f:
+        disk = json.load(f)["f32:8x128x128:B256"]
+    assert disk["winner"] == "pallas"
+    assert "error" not in disk  # not a tombstone
+    assert "ResourceExhausted" in disk["revalidation_error"]
+    assert "f32:8x128x128:B256" not in autotune._VALIDATED  # retried later
+
+
+def test_measure_exception_serves_cached_winner(monkeypatch):
+    """measure() RAISING (unguarded XLA-candidate timing) must not crash
+    the caller's trace: serve the cached winner, persist nothing."""
+    good = {
+        "f32:8x128x128:B256": dict(
+            winner="pallas", pallas_ms=1.0, xla_ms=2.0, flops=1, hbm_bytes=1,
+            achieved_tflops=0.0, roofline_fraction=0.0,
+        )
+    }
+    with open(autotune.cache_path(), "w") as f:
+        json.dump(good, f)
+
+    def raising_measure(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: busy chip")
+
+    monkeypatch.setattr(autotune, "measure", raising_measure)
+    assert autotune.decide(8, 128, 128, 256) == "pallas"
+    # no cache: safe xla default
+    monkeypatch.setattr(autotune, "_CACHE", {})
+    monkeypatch.setattr(
+        autotune, "cache_path", lambda: "/nonexistent/autotune.json"
+    )
+    assert autotune.decide(8, 128, 128, 256) == "xla"

@@ -173,7 +173,7 @@ def test_engine_cold_start_serving_and_swap(monkeypatch):
     masks = {"g0_0": np.array([[1, 0], [0, 1]], dtype=np.float32)}
     post, logz = eng.posterior_batch(masks)
     key = [k for k in eng._batched_cache if k[0] == "posterior_cold"][0]
-    assert key[2] == B  # AOT executables are batch-shape-specialized
+    assert key[3] == B  # AOT executables are batch-shape-specialized
     serving = eng._batched_cache[key]
     assert isinstance(serving, _ColdStartServing)
     assert serving.stats["segments_compile_s"] > 0

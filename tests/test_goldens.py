@@ -241,3 +241,30 @@ def test_golden_dropin_discovery(tmp_path, monkeypatch):
     )
     assert found == [str(p)]
     mod.test_golden_network_parity(str(p))
+
+
+def test_bif_table_with_parents_spec_order():
+    """The BIF spec's own dog-problem example: table entries list the CHILD
+    state varying SLOWEST (round-4 review: the first parser silently
+    transposed these)."""
+    bif = (
+        "variable family-out { type discrete [ 2 ] { true, false }; }\n"
+        "variable light-on { type discrete [ 2 ] { true, false }; }\n"
+        "probability ( family-out ) { table 0.15 0.85; }\n"
+        "probability ( light-on | family-out ) {\n"
+        "  table 0.6 0.05 0.4 0.95;\n"
+        "}\n"
+    )
+    f, s, v = parse_bif(bif)
+    cpt = v[1]  # [light-on, family-out]
+    np.testing.assert_allclose(cpt[:, 0], [0.6, 0.4])   # P(.|family=true)
+    np.testing.assert_allclose(cpt[:, 1], [0.05, 0.95])  # P(.|family=false)
+    # every conditional column normalizes (the transposed form did not)
+    np.testing.assert_allclose(cpt.sum(axis=0), [1.0, 1.0])
+    # and the equivalent row form parses identically
+    bif_rows = bif.replace(
+        "  table 0.6 0.05 0.4 0.95;\n",
+        "  (true) 0.6, 0.4;\n  (false) 0.05, 0.95;\n",
+    )
+    f2, s2, v2 = parse_bif(bif_rows)
+    np.testing.assert_allclose(v2[1], cpt)

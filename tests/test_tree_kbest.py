@@ -172,3 +172,28 @@ def test_sum_engine_delegates():
     np.testing.assert_allclose(
         [s for _, s in got], [s for s, _ in want], atol=1e-5
     )
+
+
+def test_integer_labels_resolve_through_table():
+    """Variable labels may be ints (LabelTable supports any hashable);
+    mask keys must resolve through the table, not be taken as raw var ids
+    (round-4 review: id 7 != label 7)."""
+    factors = [[10, 20], [20, 30]]
+    sizes = {10: 2, 20: 2, 30: 2}
+    values = random_values(factors, sizes, seed=5)
+    eng = _engine(factors, sizes, values)
+    got = eng.top_k_assignments({30: 1}, k=3)
+    want = _brute_ranked(factors, sizes, values, {30: 1})[:3]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for s, _ in want], atol=1e-5
+    )
+    assert all(a[30] == 1 for a, _ in got)
+    # batched API with int labels
+    m = np.array([[-np.inf, 0.0]], dtype=np.float32)
+    assign, scores = eng.top_k_assignments_batch({30: m}, k=3)
+    np.testing.assert_allclose(
+        np.asarray(scores)[0], [s for s, _ in want], atol=1e-5
+    )
+    # MAP with int labels on a general tree
+    a, s = eng.map_assignment({30: 1})
+    assert a[30] == 1 and s == pytest.approx(want[0][0], abs=1e-5)
