@@ -28,6 +28,7 @@ from .evidence import apply_evidence, batch_masks, shrink_sizes
 from .structure import chow_liu
 from .executor import Engine, evidence_to_masks
 from .incremental import IncrementalSession
+from .joint import mutual_information_from_joint, steiner_subtree
 from .mmap import MarginalMapSolver, marginal_map
 from .ops.semirings import LOG_SUM_EXP, MAX_PRODUCT, SEMIRINGS, SUM_PRODUCT
 from .schedule import Plan, compile_plan
@@ -63,6 +64,8 @@ __all__ = [
     "insert_sepset",
     "MarginalMapSolver",
     "marginal_map",
+    "mutual_information_from_joint",
+    "steiner_subtree",
     "apply_evidence",
     "shrink_sizes",
     "batch_masks",

@@ -1577,6 +1577,83 @@ class Engine:
         ent, z = self._entropy_batch_jit(pots, full)
         return ent, self.semiring.to_linear(z)
 
+    def joint_marginal(
+        self,
+        variables: Sequence[Hashable],
+        evidence: Optional[Dict[Hashable, int]] = None,
+        normalize: bool = True,
+        max_states: int = 1 << 24,
+    ):
+        """Exact joint marginal over an ARBITRARY variable set (the
+        variables need not share a clique or even a connected component).
+
+        Returns (table, P(evidence)): ``table`` is a linear-space array
+        with one axis per entry of ``variables`` (in that order),
+        normalized to sum to 1 when ``normalize`` (the conditional joint
+        P(variables | evidence)).
+
+        Out-of-clique queries eliminate along the minimal subtree of
+        calibrated cliques spanning the variables (joint.py) — the
+        reference can only project single clique beliefs onto factor
+        scopes (junctiontree.py:229-274).  Intermediates are capped at
+        ``max_states`` states (ValueError beyond: query fewer/closer
+        variables or raise the cap)."""
+        from .joint import joint_marginal_program
+
+        if self.semiring.name not in ("sum_product", "log_sum_exp"):
+            raise ValueError(
+                "joint_marginal needs a probability semiring "
+                "(sum_product or log_sum_exp), not %r" % self.semiring.name
+            )
+        variables = list(variables)
+        if len(set(variables)) != len(variables):
+            raise ValueError("variables contains duplicates")
+        qids = [self.plan.table.id_of(v) for v in variables]
+        pots = self._require_pots()
+        sr = self.semiring
+        key = ("joint", tuple(qids), int(max_states))
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            prog = joint_marginal_program(
+                self.plan, sr, qids, max_states=max_states
+            )
+
+            def _joint(pots, masks):
+                mpots = apply_masks(self.plan, pots, masks, sr)
+                cb, sb = propagate_cliques(self.plan, mpots, sr)
+                return prog(cb, sb), partition(self.plan, cb, sr)
+
+            fn = jax.jit(_joint)
+            self._batched_cache[key] = fn
+        masks = evidence_to_masks(self.plan, evidence or {}, sr)
+        joint, z = fn(pots, [jnp.asarray(m) for m in masks])
+        joint = np.asarray(joint, dtype=np.float64)
+        zlin = float(np.asarray(sr.to_linear(z)))
+        if sr.is_log:
+            m = joint.max()
+            if np.isfinite(m):
+                joint = np.exp(joint - m) * np.exp(m)
+            else:  # impossible evidence: all -inf -> zero table
+                joint = np.zeros_like(joint)
+        if normalize:
+            tot = joint.sum()
+            joint = joint / tot if tot > 0 else joint
+        return joint, zlin
+
+    def mutual_information(
+        self,
+        x: Hashable,
+        y: Hashable,
+        evidence: Optional[Dict[Hashable, int]] = None,
+    ) -> float:
+        """Exact I(X;Y | evidence) in nats from the pairwise joint —
+        information-theoretic queries over arbitrary pairs, far beyond the
+        reference's factor-scope marginals."""
+        from .joint import mutual_information_from_joint
+
+        joint, _ = self.joint_marginal([x, y], evidence)
+        return mutual_information_from_joint(joint)
+
     def shard_batch(self, mesh, axis: str = "batch") -> "Engine":
         """Data-parallel serving: shard every batched query's evidence-mask
         batch axis over ``mesh`` — XLA GSPMD then partitions all batched

@@ -1,0 +1,153 @@
+"""Exact joint marginals over arbitrary variable sets (joint.py).
+
+Oracle: the brute-force joint over the query set (reference test strategy
+oracle #1, SURVEY.md §4).  The reference library itself can only project
+single clique beliefs onto factor scopes."""
+
+import numpy as np
+import pytest
+
+from junctiontree_tpu import Engine, LOG_SUM_EXP, MAX_PRODUCT, compile_plan
+from junctiontree_tpu.joint import steiner_subtree
+
+from .util import brute_force_marginals, grid_mrf, random_factor_graph, random_values
+
+
+def _check(factors, sizes, values, qvars, evidence=None, semiring=None,
+           atol=1e-6):
+    eng = Engine(
+        compile_plan(factors, sizes), *([semiring] if semiring else [])
+    ).set_potentials(values)
+    got, pz = eng.joint_marginal(qvars, evidence)
+    want = brute_force_marginals(factors, sizes, values, [qvars], evidence)[0]
+    z = want.sum()
+    np.testing.assert_allclose(got, want / z, atol=atol)
+    np.testing.assert_allclose(pz, z, rtol=1e-5)
+    return eng
+
+
+@pytest.mark.parametrize("semiring", [None, LOG_SUM_EXP])
+def test_within_clique_pair(semiring):
+    factors = [["a", "b", "c"]]
+    sizes = {"a": 2, "b": 3, "c": 2}
+    values = random_values(factors, sizes, seed=0)
+    _check(factors, sizes, values, ["a", "c"], semiring=semiring)
+
+
+@pytest.mark.parametrize("semiring", [None, LOG_SUM_EXP])
+def test_cross_clique_far_pair(semiring):
+    """Opposite grid corners: the Steiner path crosses many cliques, and
+    the elimination scope must stay |sep|+|Q|, not the union."""
+    factors, sizes = grid_mrf(4, 4)
+    values = random_values(factors, sizes, seed=1)
+    _check(factors, sizes, values, ["g0_0", "g3_3"], semiring=semiring)
+
+
+def test_triple_across_cliques_with_evidence():
+    factors, sizes = grid_mrf(3, 4)
+    values = random_values(factors, sizes, seed=2)
+    _check(factors, sizes, values, ["g0_0", "g1_2", "g2_3"],
+           evidence={"g2_0": 1})
+
+
+def test_output_axis_order_matches_request():
+    factors = [["a", "b"], ["b", "c"]]
+    sizes = {"a": 2, "b": 3, "c": 4}
+    values = random_values(factors, sizes, seed=3)
+    eng = _check(factors, sizes, values, ["c", "a"])
+    j_ca, _ = eng.joint_marginal(["c", "a"])
+    j_ac, _ = eng.joint_marginal(["a", "c"])
+    assert j_ca.shape == (4, 2) and j_ac.shape == (2, 4)
+    np.testing.assert_allclose(j_ca, j_ac.T, atol=1e-12)
+
+
+def test_forest_components_independent():
+    """Variables in DIFFERENT components: the joint factorizes (the empty
+    separator join carries through the division exactly)."""
+    factors = [["a", "b"], ["x", "y"]]
+    sizes = {"a": 2, "b": 2, "x": 3, "y": 2}
+    values = random_values(factors, sizes, seed=4)
+    eng = _check(factors, sizes, values, ["a", "x"])
+    j, _ = eng.joint_marginal(["a", "x"])
+    pa = j.sum(axis=1)
+    px = j.sum(axis=0)
+    np.testing.assert_allclose(j, np.outer(pa, px), atol=1e-9)
+
+
+def test_single_variable_equals_posterior():
+    factors, sizes = grid_mrf(3, 3)
+    values = random_values(factors, sizes, seed=5)
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    j, _ = eng.joint_marginal(["g1_1"], {"g0_0": 1})
+    post, _ = eng.query({"g0_0": 1})
+    np.testing.assert_allclose(
+        j, np.asarray(post[eng.plan.table.id_of("g1_1")]), atol=1e-6
+    )
+
+
+def test_structural_zeros_and_impossible_evidence():
+    factors = [["a", "b"], ["b", "c"]]
+    sizes = {"a": 2, "b": 2, "c": 2}
+    values = random_values(factors, sizes, seed=6)
+    values[0][:, 0] = 0.0  # b=0 impossible
+    _check(factors, sizes, values, ["a", "c"])
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    j, pz = eng.joint_marginal(["a", "c"], {"b": 0})  # impossible evidence
+    assert pz == pytest.approx(0.0, abs=1e-12)
+    assert not np.any(np.isnan(j))
+
+
+def test_errors():
+    factors = [["a", "b"]]
+    sizes = {"a": 2, "b": 2}
+    values = random_values(factors, sizes, seed=7)
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    with pytest.raises(ValueError, match="duplicates"):
+        eng.joint_marginal(["a", "a"])
+    with pytest.raises(ValueError, match="state intermediate"):
+        eng.joint_marginal(["a", "b"], max_states=1)
+    mx = Engine(compile_plan(factors, sizes), MAX_PRODUCT)
+    mx.set_potentials(values)
+    with pytest.raises(ValueError, match="probability semiring"):
+        mx.joint_marginal(["a", "b"])
+
+
+def test_steiner_subtree_is_minimal():
+    factors, sizes = grid_mrf(4, 4)
+    values = random_values(factors, sizes, seed=8)
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    plan = eng.plan
+    q = [plan.table.id_of("g0_0")]
+    nodes, root, children = steiner_subtree(plan, q)
+    assert nodes == {plan.var_to_clique[q[0]]}  # single-clique query
+    # a pair's subtree is exactly the tree path between their cliques
+    q2 = [plan.table.id_of("g0_0"), plan.table.id_of("g3_3")]
+    nodes2, root2, ch2 = steiner_subtree(plan, q2)
+    a, b = plan.var_to_clique[q2[0]], plan.var_to_clique[q2[1]]
+    assert a in nodes2 and b in nodes2
+    # every non-endpoint node has degree 2 within the subtree (a path)
+    for c in nodes2:
+        deg = len(ch2[c]) + (1 if plan.tree.parent[c] in nodes2 else 0)
+        assert deg <= 2
+
+
+def test_mutual_information():
+    factors = [["a", "b"], ["b", "c"]]
+    sizes = {"a": 2, "b": 3, "c": 2}
+    values = random_values(factors, sizes, seed=9)
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    mi = eng.mutual_information("a", "c")
+    # brute-force I(a;c)
+    j = brute_force_marginals(factors, sizes, values, [["a", "c"]])[0]
+    p = j / j.sum()
+    pa, pc = p.sum(1, keepdims=True), p.sum(0, keepdims=True)
+    want = float(np.sum(p * np.log(p / (pa * pc))))
+    assert mi == pytest.approx(want, abs=1e-8)
+    assert mi >= 0
+    # independent components: MI == 0
+    f2 = [["a", "b"], ["x", "y"]]
+    s2 = {"a": 2, "b": 2, "x": 2, "y": 2}
+    e2 = Engine(compile_plan(f2, s2)).set_potentials(
+        random_values(f2, s2, seed=10)
+    )
+    assert e2.mutual_information("a", "x") == pytest.approx(0.0, abs=1e-10)
