@@ -286,6 +286,8 @@ def bench_big_clique(batch=4096):
 
 def bench_tree_map(batch=2048):
     """General-tree batched MAP decoding (backpointers + traceback)."""
+    import jax.numpy as jnp
+
     import junctiontree_tpu as jt
     from junctiontree_tpu.evidence import random_evidence_batch
     from junctiontree_tpu.models import grid_mrf_model
@@ -321,6 +323,23 @@ def bench_tree_map(batch=2048):
     record(f"6x6 grid batched top-{k} assignments", round(batch / dt, 1),
            "queries/s", batch=batch, k=k, step_ms=round(dt * 1e3, 3),
            compile_s=round(ct, 2))
+    # batched out-of-clique joint marginal across the grid diagonal
+    # (round-4 joint.py: Steiner-subtree elimination on calibrated beliefs)
+    lin_masks = {}
+    for v in list(sizes)[:6]:
+        m = np.zeros((batch, 2), dtype=np.float32)
+        for b, ev in enumerate(evs):
+            m[b, ev[v]] = 1.0
+        lin_masks[v] = jnp.asarray(m)
+    dt, ct = steady(
+        lambda: eng.joint_marginal_batch(["g0_0", "g5_5"], lin_masks),
+        iters=10,
+    )
+    log(f"# 6x6 grid batched joint P(corner pair)  B={batch}: "
+        f"{dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  (compile {ct:.1f}s)")
+    record("6x6 grid batched cross-clique joint marginal",
+           round(batch / dt, 1), "queries/s", batch=batch,
+           step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
 
 
 def bench_mmap(batch=2048):

@@ -1640,6 +1640,78 @@ class Engine:
             joint = joint / tot if tot > 0 else joint
         return joint, zlin
 
+    def joint_marginal_batch(
+        self, variables: Sequence[Hashable], mask_batch,
+        max_states: int = 1 << 24,
+    ):
+        """Batched exact joint marginals over an arbitrary variable set.
+
+        ``mask_batch``: dict {var label: [B, size_v]} masks in the engine's
+        semiring space (unobserved vars default to all-ones), or a full
+        per-var-id list.  Returns (tables [B, *sizes(variables)] linear
+        NORMALIZED, Z [B] linear) device arrays — the per-element
+        conditional joints P(variables | evidence_b).
+
+        vmapped over the evidence batch (beliefs materialize per element;
+        for big-clique models prefer small B or the unbatched form)."""
+        from .joint import joint_marginal_program
+
+        if self.semiring.name not in ("sum_product", "log_sum_exp"):
+            raise ValueError(
+                "joint_marginal needs a probability semiring "
+                "(sum_product or log_sum_exp), not %r" % self.semiring.name
+            )
+        variables = list(variables)
+        if len(set(variables)) != len(variables):
+            raise ValueError("variables contains duplicates")
+        qids = [self.plan.table.id_of(v) for v in variables]
+        pots = self._require_pots()
+        sr = self.semiring
+        plan = self.plan
+        key = ("joint_batch", tuple(qids), int(max_states))
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            prog = joint_marginal_program(
+                plan, sr, qids, max_states=max_states
+            )
+
+            def _one(pots, masks):
+                mpots = apply_masks(plan, pots, masks, sr)
+                cb, sb = propagate_cliques(plan, mpots, sr)
+                joint = prog(cb, sb)
+                z = partition(plan, cb, sr)
+                if sr.is_log:
+                    flat = jnp.reshape(joint, (-1,))
+                    joint = jnp.exp(
+                        joint - jax.nn.logsumexp(flat)
+                    ).reshape(joint.shape)
+                else:
+                    joint = joint / jnp.maximum(jnp.sum(joint), _PROG_TINY)
+                return joint, sr.to_linear(z)
+
+            fn = jax.jit(jax.vmap(_one, in_axes=(None, 0)))
+            self._batched_cache[key] = fn
+        if isinstance(mask_batch, dict):
+            by_id = {
+                plan.table.id_of(k): jnp.asarray(v)
+                for k, v in mask_batch.items()
+            }
+            B = next(iter(by_id.values())).shape[0] if by_id else 1
+            full = []
+            for v in range(plan.num_vars):
+                m = by_id.get(v)
+                if m is None:
+                    m = jnp.broadcast_to(
+                        jnp.full(
+                            (plan.sizes[v],), sr.one, dtype=jnp.float32
+                        ),
+                        (B, plan.sizes[v]),
+                    )
+                full.append(m)
+        else:
+            full = [jnp.asarray(m) for m in mask_batch]
+        return fn(pots, full)
+
     def mutual_information(
         self,
         x: Hashable,

@@ -151,3 +151,26 @@ def test_mutual_information():
         random_values(f2, s2, seed=10)
     )
     assert e2.mutual_information("a", "x") == pytest.approx(0.0, abs=1e-10)
+
+
+@pytest.mark.parametrize("semiring", [None, LOG_SUM_EXP])
+def test_joint_marginal_batch(semiring):
+    factors, sizes = grid_mrf(3, 3)
+    values = random_values(factors, sizes, seed=11)
+    eng = Engine(
+        compile_plan(factors, sizes), *([semiring] if semiring else [])
+    ).set_potentials(values)
+    B = 3
+    m = np.ones((B, 2), dtype=np.float32)
+    m[0] = [1.0, 0.0]
+    m[1] = [0.0, 1.0]
+    m = np.asarray(eng.semiring.from_linear(m))
+    tables, zs = eng.joint_marginal_batch(["g0_0", "g2_2"], {"g1_1": m})
+    tables, zs = np.asarray(tables), np.asarray(zs)
+    assert tables.shape == (B, 2, 2)
+    for b, ev in enumerate([{"g1_1": 0}, {"g1_1": 1}, None]):
+        want = brute_force_marginals(
+            factors, sizes, values, [["g0_0", "g2_2"]], ev
+        )[0]
+        np.testing.assert_allclose(tables[b], want / want.sum(), atol=1e-5)
+        assert zs[b] == pytest.approx(want.sum(), rel=1e-5)
