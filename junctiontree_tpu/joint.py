@@ -97,14 +97,18 @@ def joint_marginal_program(
     nodes, root, children = steiner_subtree(plan, qids)
 
     # static: post-order over the subtree + per-node output scope
+    # (iterative — a query across a 5000-clique chain must not hit
+    # Python's recursion limit)
     order: List[int] = []
-
-    def visit(c):
+    stack: List[Tuple[int, bool]] = [(root, False)]
+    while stack:
+        c, done = stack.pop()
+        if done:
+            order.append(c)
+            continue
+        stack.append((c, True))
         for k, _ in children[c]:
-            visit(k)
-        order.append(c)
-
-    visit(root)
+            stack.append((k, False))
     q_below: Dict[int, Set[int]] = {}
     out_scope: Dict[int, List[int]] = {}
     for c in order:

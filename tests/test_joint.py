@@ -174,3 +174,23 @@ def test_joint_marginal_batch(semiring):
         )[0]
         np.testing.assert_allclose(tables[b], want / want.sum(), atol=1e-5)
         assert zs[b] == pytest.approx(want.sum(), rel=1e-5)
+
+
+def test_long_chain_query_no_recursion_limit():
+    """A joint across a 1500-step chain walks a 1500-clique Steiner path —
+    the post-order must be iterative (Python's recursion limit is 1000)."""
+    from junctiontree_tpu.models import chain_bn_model
+
+    factors, sizes, values = chain_bn_model(1500, seed=0)
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    names = list(sizes)
+    j, _ = eng.joint_marginal([names[0], names[-1]])
+    assert j.shape == (sizes[names[0]], sizes[names[-1]])
+    np.testing.assert_allclose(j.sum(), 1.0, rtol=1e-6)
+    # endpoints of a long random chain are near-independent; the joint
+    # must still be a valid distribution with sane single marginals
+    post, _ = eng.query()
+    np.testing.assert_allclose(
+        j.sum(axis=1),
+        np.asarray(post[eng.plan.table.id_of(names[0])]), atol=1e-4,
+    )
