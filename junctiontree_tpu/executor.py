@@ -1147,7 +1147,20 @@ class _ColdStartServing:
                 )
                 self._monolith = compiled
             except Exception as e:  # keep serving on segments
+                # a silent failure here would leave steady-state serving on
+                # the chunked executables forever (~25x slower per step on
+                # hailfinder-class); make it operator-visible
                 self._monolith_err = e
+                self.stats["monolith_error"] = (
+                    f"{type(e).__name__}: {e}"
+                )
+                import warnings
+
+                warnings.warn(
+                    "background monolith compile failed; serving stays on "
+                    f"segmented programs ({type(e).__name__}: {e})",
+                    RuntimeWarning,
+                )
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
@@ -1439,6 +1452,15 @@ class Engine:
         st["cached_programs"] = sorted(
             str(k[0]) for k in self._batched_cache
         )
+        # cold-start serving visibility: operators must be able to see a
+        # serving object that never swapped to the monolith (and why)
+        cold = {
+            str(k): dict(v.stats, swapped=v.swapped)
+            for k, v in self._batched_cache.items()
+            if isinstance(v, _ColdStartServing)
+        }
+        if cold:
+            st["cold_start_serving"] = cold
         # process-wide phase totals (the TIMERS registry is shared by every
         # engine/plan in the process; reset via utils.timing.TIMERS.reset())
         st["process_phase_totals_s"] = TIMERS.report()
@@ -1631,11 +1653,20 @@ class Engine:
         zlin = float(np.asarray(sr.to_linear(z)))
         if sr.is_log:
             m = joint.max()
-            if np.isfinite(m):
-                joint = np.exp(joint - m) * np.exp(m)
-            else:  # impossible evidence: all -inf -> zero table
-                joint = np.zeros_like(joint)
-        if normalize:
+            if not np.isfinite(m):  # impossible evidence: all -inf
+                return np.zeros_like(joint), zlin
+            t = np.exp(joint - m)  # stabilized: max entry is exactly 1
+            if normalize:
+                # the exp(m) factor cancels in the ratio, so never form it —
+                # exp(m) underflows (m < ~-745, deep evidence) or overflows
+                # (m > ~709, unnormalized MRFs) exactly when stabilization
+                # matters
+                return t / t.sum(), zlin
+            # unnormalized linear return: the exp(m) rescale is inherent to
+            # the contract (float64; callers needing the raw log table can
+            # query with normalize=True and rescale by zlin themselves)
+            joint = t * np.exp(m)
+        elif normalize:
             tot = joint.sum()
             joint = joint / tot if tot > 0 else joint
         return joint, zlin
@@ -1652,9 +1683,12 @@ class Engine:
         NORMALIZED, Z [B] linear) device arrays — the per-element
         conditional joints P(variables | evidence_b).
 
-        vmapped over the evidence batch (beliefs materialize per element;
-        for big-clique models prefer small B or the unbatched form)."""
-        from .joint import joint_marginal_program
+        Runs the batch-aware routed message program once and eliminates the
+        Steiner subtree with batch-labelled routed contractions
+        (joint.batched_joint_marginal_program) — no per-element clique
+        beliefs materialize (round-4 verdict #2).  Impossible evidence
+        yields an all-zero table for that element."""
+        from .joint import batched_joint_marginal_program
 
         if self.semiring.name not in ("sum_product", "log_sum_exp"):
             raise ValueError(
@@ -1671,25 +1705,9 @@ class Engine:
         key = ("joint_batch", tuple(qids), int(max_states))
         fn = self._batched_cache.get(key)
         if fn is None:
-            prog = joint_marginal_program(
+            fn = jax.jit(batched_joint_marginal_program(
                 plan, sr, qids, max_states=max_states
-            )
-
-            def _one(pots, masks):
-                mpots = apply_masks(plan, pots, masks, sr)
-                cb, sb = propagate_cliques(plan, mpots, sr)
-                joint = prog(cb, sb)
-                z = partition(plan, cb, sr)
-                if sr.is_log:
-                    flat = jnp.reshape(joint, (-1,))
-                    joint = jnp.exp(
-                        joint - jax.nn.logsumexp(flat)
-                    ).reshape(joint.shape)
-                else:
-                    joint = joint / jnp.maximum(jnp.sum(joint), _PROG_TINY)
-                return joint, sr.to_linear(z)
-
-            fn = jax.jit(jax.vmap(_one, in_axes=(None, 0)))
+            ))
             self._batched_cache[key] = fn
         if isinstance(mask_batch, dict):
             by_id = {

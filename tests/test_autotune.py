@@ -191,14 +191,28 @@ def test_transient_revalidation_failure_keeps_good_entry(monkeypatch):
         return dict(winner="xla", pallas_ms=None, xla_ms=None, flops=1,
                     hbm_bytes=1, error="pallas compile failed: ResourceExhausted")
 
-    monkeypatch.setattr(autotune, "measure", failing_measure)
+    calls = []
+    orig_failing = failing_measure
+
+    def counting_measure(*a, **k):
+        calls.append(a)
+        return orig_failing(*a, **k)
+
+    monkeypatch.setattr(autotune, "measure", counting_measure)
     assert autotune.decide(8, 128, 128, 256) == "pallas"  # incumbent kept
     with open(autotune.cache_path()) as f:
         disk = json.load(f)["f32:8x128x128:B256"]
     assert disk["winner"] == "pallas"
     assert "error" not in disk  # not a tombstone
     assert "ResourceExhausted" in disk["revalidation_error"]
-    assert "f32:8x128x128:B256" not in autotune._VALIDATED  # retried later
+    # THIS process serves the incumbent without re-running the failed
+    # measurement (ADVICE r4: unbounded re-measurement on a busy chip)...
+    assert "f32:8x128x128:B256" in autotune._VALIDATED
+    assert autotune.decide(8, 128, 128, 256) == "pallas"
+    assert len(calls) == 1
+    # ...while the persisted entry records the failure and no validation
+    # bump, so the NEXT process retries exactly once
+    assert "validations" not in disk
 
 
 def test_measure_exception_serves_cached_winner(monkeypatch):

@@ -196,6 +196,46 @@ def test_engine_cold_start_serving_and_swap(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_monolith_compile_failure_is_operator_visible(monkeypatch):
+    """A failed background monolith compile must not be silent (ADVICE r4):
+    it warns, lands in serving.stats, and shows up in Engine.describe() —
+    serving keeps working on the segmented programs either way."""
+    import warnings
+
+    from junctiontree_tpu.config import DEFAULT
+    from junctiontree_tpu.executor import BatchedProgramBuilder
+
+    factors, sizes = grid_mrf(4, 4)
+    values = random_values(factors, sizes, seed=13)
+    monkeypatch.setattr(DEFAULT, "parallel_cold_start", True)
+    monkeypatch.setattr(DEFAULT, "cold_start_min_states", 1)
+    monkeypatch.setattr(DEFAULT, "cold_start_segments", 3)
+
+    def broken_full(self):
+        raise RuntimeError("XLA said no")
+
+    monkeypatch.setattr(BatchedProgramBuilder, "full", broken_full)
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    masks = {"g0_0": np.array([[1, 0], [0, 1]], dtype=np.float32)}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        post, logz = eng.posterior_batch(masks)
+        serving = [
+            v for k, v in eng._batched_cache.items()
+            if k[0] == "posterior_cold"
+        ][0]
+        serving._thread.join(timeout=120)
+    assert serving._monolith_err is not None
+    assert "XLA said no" in serving.stats["monolith_error"]
+    assert any("monolith compile failed" in str(x.message) for x in w)
+    cold = eng.describe()["cold_start_serving"]
+    (entry,) = cold.values()
+    assert entry["swapped"] is False and "XLA said no" in entry["monolith_error"]
+    # serving still answers (segments path)
+    post2, logz2 = eng.posterior_batch(masks)
+    np.testing.assert_allclose(np.asarray(logz2), np.asarray(logz), rtol=1e-6)
+
+
 def test_cold_start_batch_size_change_compiles_fresh_serving(monkeypatch):
     """AOT chunk executables are shape-specialized: a different batch size
     must get its own serving entry, not a shape error (round-4 bug)."""

@@ -176,6 +176,57 @@ def test_joint_marginal_batch(semiring):
         assert zs[b] == pytest.approx(want.sum(), rel=1e-5)
 
 
+def test_joint_marginal_deep_underflow_normalizes(semiring=LOG_SUM_EXP):
+    """On the log engine, a model whose unnormalized joint mass sits below
+    exp(-745) must still return a finite normalized table (ADVICE r4: the
+    old path multiplied by exp(m), which underflows to an all-zero
+    table)."""
+    n = 40
+    factors = [[f"x{i}", f"x{i+1}"] for i in range(n)]
+    sizes = {f"x{i}": 2 for i in range(n + 1)}
+    rng = np.random.default_rng(7)
+    # each factor ~1e-30: joint entries ~1e-1200, far below float64 range
+    values = [
+        (1e-30 * (0.5 + rng.random((2, 2)))).astype(np.float64)
+        for _ in factors
+    ]
+    eng = Engine(compile_plan(factors, sizes), LOG_SUM_EXP).set_potentials(
+        values
+    )
+    j, _ = eng.joint_marginal(["x0", f"x{n}"])
+    assert np.isfinite(j).all() and j.sum() == pytest.approx(1.0, rel=1e-6)
+    assert j.max() > 0.1  # a real distribution, not a zero table
+    # parity with a rescaled brute force on the same model
+    scaled = [v * 1e30 for v in values]
+    want = brute_force_marginals(factors, sizes, scaled, [["x0", f"x{n}"]])[0]
+    np.testing.assert_allclose(j, want / want.sum(), atol=1e-6)
+
+
+@pytest.mark.parametrize("semiring", [None, LOG_SUM_EXP])
+def test_joint_marginal_batch_impossible_element(semiring):
+    """A batch element with impossible evidence must yield an all-zero
+    table (matching the unbatched path) — not NaN (ADVICE r4: the old
+    vmapped log-space normalization produced -inf - -inf = NaN)."""
+    factors = [["a", "b"], ["b", "c"]]
+    sizes = {"a": 2, "b": 3, "c": 2}
+    values = random_values(factors, sizes, seed=12)
+    values[0][:, 0] = 0.0  # b=0 structurally impossible
+    eng = Engine(
+        compile_plan(factors, sizes), *([semiring] if semiring else [])
+    ).set_potentials(values)
+    B = 2
+    m = np.ones((B, 3), dtype=np.float32)
+    m[0] = [1.0, 0.0, 0.0]  # impossible
+    m = np.asarray(eng.semiring.from_linear(m))
+    tables, zs = eng.joint_marginal_batch(["a", "c"], {"b": m})
+    tables, zs = np.asarray(tables), np.asarray(zs)
+    assert not np.isnan(tables).any() and not np.isnan(zs).any()
+    np.testing.assert_allclose(tables[0], np.zeros((2, 2)))
+    assert zs[0] == pytest.approx(0.0, abs=1e-12)
+    want = brute_force_marginals(factors, sizes, values, [["a", "c"]])[0]
+    np.testing.assert_allclose(tables[1], want / want.sum(), atol=1e-5)
+
+
 def test_long_chain_query_no_recursion_limit():
     """A joint across a 1500-step chain walks a 1500-clique Steiner path —
     the post-order must be iterative (Python's recursion limit is 1000)."""
