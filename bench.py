@@ -56,6 +56,41 @@ def steady(fn, *args, iters=20, rounds=3):
     return best, compile_t
 
 
+def steady_stats(fn, *args, iters=10, rounds=6):
+    """Like ``steady`` but returns (best, median, worst, compile_t) over the
+    measured windows.  The round-4 verdict found five bench lines whose
+    committed best-window numbers diverged 5-31x from an independent
+    driver re-run; recording the window RANGE makes the artifact falsifiable
+    (a re-run should land inside [min, max]) and STATUS quotes the median."""
+    import statistics
+
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_t = time.perf_counter() - t0
+    windows = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        windows.append((time.perf_counter() - t0) / iters)
+    return (
+        min(windows), statistics.median(windows), max(windows), compile_t
+    )
+
+
+def ms_range(best, med, worst):
+    """step_ms artifact fields: median headline + honest [min,max] range."""
+    return dict(
+        step_ms=round(med * 1e3, 3),
+        step_ms_min=round(best * 1e3, 3),
+        step_ms_max=round(worst * 1e3, 3),
+    )
+
+
 def steady_interleaved(fns, args, iters=10, rounds=6):
     """Steady-state per-call time for SEVERAL compiled variants, measured in
     interleaved windows (round-robin over variants each round) so shared-chip
@@ -66,17 +101,33 @@ def steady_interleaved(fns, args, iters=10, rounds=6):
     dev chip)."""
     import jax
 
+    best, _, _ = steady_interleaved_stats(fns, args, iters, rounds)
+    return best
+
+
+def steady_interleaved_stats(fns, args, iters=10, rounds=6):
+    """``steady_interleaved`` returning (bests, ratio_medians, window lists).
+
+    ``window lists[i]`` holds variant i's per-round window times; per-ROUND
+    ratios (same window pair) are what make a speedup claim sign-stable on
+    the shared chip."""
+    import jax
+
     for fn in fns:  # compile all first
         jax.block_until_ready(fn(*args))
-    best = [float("inf")] * len(fns)
+    windows = [[] for _ in fns]
     for _ in range(rounds):
         for i, fn in enumerate(fns):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(*args)
             jax.block_until_ready(out)
-            best[i] = min(best[i], (time.perf_counter() - t0) / iters)
-    return best
+            windows[i].append((time.perf_counter() - t0) / iters)
+    import statistics
+
+    bests = [min(w) for w in windows]
+    medians = [statistics.median(w) for w in windows]
+    return bests, medians, windows
 
 
 RESULTS: list = []  # per-case records, written to BENCH_all.json
@@ -305,24 +356,26 @@ def bench_tree_map(batch=2048):
     # returns device arrays; steady() blocks on them (no host transfer --
     # through the dev-chip tunnel a [B,36] device->host copy costs seconds
     # and would swamp the 0.1 ms program)
-    dt, ct = steady(
-        lambda: eng.map_assignment_batch(masks), iters=10
+    best, dt, worst, ct = steady_stats(
+        lambda: eng.map_assignment_batch(masks)
     )
-    log(f"# 6x6 grid batched MAP  B={batch}: {dt*1e3:.2f} ms/step  "
-        f"{batch/dt:,.0f} MAP/s  (compile {ct:.1f}s)")
+    log(f"# 6x6 grid batched MAP  B={batch}: {dt*1e3:.2f} ms/step "
+        f"[{best*1e3:.2f}-{worst*1e3:.2f}]  {batch/dt:,.0f} MAP/s  "
+        f"(compile {ct:.1f}s)")
     record("6x6 grid batched MAP", round(batch / dt, 1), "MAP/s",
-           batch=batch, step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
+           batch=batch, compile_s=round(ct, 2), **ms_range(best, dt, worst))
     # batched k-best on the same general tree (round-4: tree_kbest_program)
     k = 8
-    dt, ct = steady(
-        lambda: eng.top_k_assignments_batch(masks, k=k), iters=10
+    best, dt, worst, ct = steady_stats(
+        lambda: eng.top_k_assignments_batch(masks, k=k)
     )
-    log(f"# 6x6 grid batched top-{k}  B={batch}: {dt*1e3:.2f} ms/step  "
+    log(f"# 6x6 grid batched top-{k}  B={batch}: {dt*1e3:.2f} ms/step "
+        f"[{best*1e3:.2f}-{worst*1e3:.2f}]  "
         f"{batch/dt:,.0f} q/s ({batch*k/dt:,.0f} ranked assignments/s)  "
         f"(compile {ct:.1f}s)")
     record(f"6x6 grid batched top-{k} assignments", round(batch / dt, 1),
-           "queries/s", batch=batch, k=k, step_ms=round(dt * 1e3, 3),
-           compile_s=round(ct, 2))
+           "queries/s", batch=batch, k=k, compile_s=round(ct, 2),
+           **ms_range(best, dt, worst))
     # batched out-of-clique joint marginal across the grid diagonal
     # (round-4 joint.py: Steiner-subtree elimination on calibrated beliefs)
     lin_masks = {}
@@ -331,15 +384,15 @@ def bench_tree_map(batch=2048):
         for b, ev in enumerate(evs):
             m[b, ev[v]] = 1.0
         lin_masks[v] = jnp.asarray(m)
-    dt, ct = steady(
-        lambda: eng.joint_marginal_batch(["g0_0", "g5_5"], lin_masks),
-        iters=10,
+    best, dt, worst, ct = steady_stats(
+        lambda: eng.joint_marginal_batch(["g0_0", "g5_5"], lin_masks)
     )
     log(f"# 6x6 grid batched joint P(corner pair)  B={batch}: "
-        f"{dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  (compile {ct:.1f}s)")
+        f"{dt*1e3:.2f} ms/step [{best*1e3:.2f}-{worst*1e3:.2f}]  "
+        f"{batch/dt:,.0f} q/s  (compile {ct:.1f}s)")
     record("6x6 grid batched cross-clique joint marginal",
            round(batch / dt, 1), "queries/s", batch=batch,
-           step_ms=round(dt * 1e3, 3), compile_s=round(ct, 2))
+           compile_s=round(ct, 2), **ms_range(best, dt, worst))
 
 
 def bench_mmap(batch=2048):
@@ -360,14 +413,14 @@ def bench_mmap(batch=2048):
         m = np.full((batch, sizes[v]), -1e30, dtype=np.float32)
         m[np.arange(batch), rng.integers(0, sizes[v], size=batch)] = 0.0
         masks[v] = m
-    dt, ct = steady(lambda: solver.query_batch(masks), iters=10)
+    best, dt, worst, ct = steady_stats(lambda: solver.query_batch(masks))
     log(f"# 6x6 grid MMAP({len(map_vars)} vars)  B={batch}: "
-        f"{dt*1e3:.2f} ms/step  {batch/dt:,.0f} MMAP/s  "
+        f"{dt*1e3:.2f} ms/step [{best*1e3:.2f}-{worst*1e3:.2f}]  "
+        f"{batch/dt:,.0f} MMAP/s  "
         f"(width {solver.constrained_width}; compile {ct:.1f}s)")
     record("6x6 grid batched MMAP", round(batch / dt, 1), "MMAP/s",
-           batch=batch, step_ms=round(dt * 1e3, 3),
-           constrained_width=solver.constrained_width,
-           compile_s=round(ct, 2))
+           batch=batch, constrained_width=solver.constrained_width,
+           compile_s=round(ct, 2), **ms_range(best, dt, worst))
 
 
 def bench_incremental(batch=2048):
@@ -398,24 +451,36 @@ def bench_incremental(batch=2048):
         new_mask = jnp.asarray(new_mask)
         qvars = [names[qvar_ix]]
 
-        dt_i, ct_i = steady(
-            lambda: sess.query({dirty: new_mask}, qvars),
-            iters=10, rounds=rounds,
-        )
         merged = dict(masks)
         merged[dirty] = new_mask
-        dt_f, ct_f = steady(
-            lambda: eng.posterior_batch(merged, mode="general"),
-            iters=10, rounds=rounds,
+        # INTERLEAVED windows (round-4 verdict #3: separate windows made
+        # the committed 3.2x vs the driver's 1.3x — same code); per-round
+        # ratios are sign-stable because each pair shares a window
+        import statistics
+
+        bests, meds, wins = steady_interleaved_stats(
+            [
+                lambda: sess.query({dirty: new_mask}, qvars),
+                lambda: eng.posterior_batch(merged, mode="general"),
+            ],
+            (), iters=10, rounds=2 * rounds,
         )
+        dt_i, dt_f = meds
+        ratios = sorted(f / i for i, f in zip(wins[0], wins[1]))
+        ratio_med = statistics.median(ratios)
         log(f"# {rows}x{rows} grid incremental delta  B={batch}: "
             f"{dt_i*1e3:.3f} ms vs full {dt_f*1e3:.3f} ms  "
-            f"({dt_f/dt_i:.1f}x)  (compiles {ct_i:.1f}s/{ct_f:.1f}s)")
+            f"({ratio_med:.1f}x, per-window {ratios[0]:.2f}-"
+            f"{ratios[-1]:.2f})")
         record(f"{rows}x{rows} grid single-var evidence delta",
                round(batch / dt_i, 1), "queries/s", batch=batch,
                incremental_ms=round(dt_i * 1e3, 3),
+               incremental_ms_min=round(bests[0] * 1e3, 3),
                full_ms=round(dt_f * 1e3, 3),
-               speedup=round(dt_f / dt_i, 2))
+               full_ms_min=round(bests[1] * 1e3, 3),
+               speedup=round(ratio_med, 2),
+               speedup_min=round(ratios[0], 2),
+               speedup_max=round(ratios[-1], 2))
 
 
 def bench_division(batch=4096):
@@ -438,26 +503,38 @@ def bench_division(batch=4096):
         k: jnp.asarray(v)
         for k, v in batch_masks_sparse(tree.plan, evs).items()
     }
-    times = {}
+    import statistics
+
+    engines = {}
     old = DEFAULT.distribute_division
     try:
         for flag in (True, False):
             DEFAULT.distribute_division = flag
-            eng = tree.engine().set_potentials(values)
-            dt, ct = steady(
-                lambda: eng.posterior_batch(masks, mode="general"), iters=10
-            )
-            times[flag] = dt
+            engines[flag] = tree.engine().set_potentials(values)
     finally:
         DEFAULT.distribute_division = old
+    # interleaved windows: the ratio must be sign-stable (VERDICT r4 #3)
+    bests, meds, wins = steady_interleaved_stats(
+        [
+            lambda: engines[True].posterior_batch(masks, mode="general"),
+            lambda: engines[False].posterior_batch(masks, mode="general"),
+        ],
+        (),
+    )
+    ratios = sorted(l / d for d, l in zip(wins[0], wins[1]))
     log(f"# 8x8 grid distribute division  B={batch}: "
-        f"division {times[True]*1e3:.3f} ms  leave-one-out "
-        f"{times[False]*1e3:.3f} ms  ({times[False]/times[True]:.2f}x)")
-    record("8x8 grid distribute-division", round(batch / times[True], 1),
+        f"division {meds[0]*1e3:.3f} ms  leave-one-out "
+        f"{meds[1]*1e3:.3f} ms  ({statistics.median(ratios):.2f}x, "
+        f"per-window {ratios[0]:.2f}-{ratios[-1]:.2f})")
+    record("8x8 grid distribute-division", round(batch / meds[0], 1),
            "queries/s", batch=batch,
-           division_ms=round(times[True] * 1e3, 3),
-           leave_one_out_ms=round(times[False] * 1e3, 3),
-           speedup=round(times[False] / times[True], 3))
+           division_ms=round(meds[0] * 1e3, 3),
+           division_ms_min=round(bests[0] * 1e3, 3),
+           leave_one_out_ms=round(meds[1] * 1e3, 3),
+           leave_one_out_ms_min=round(bests[1] * 1e3, 3),
+           speedup=round(statistics.median(ratios), 3),
+           speedup_min=round(ratios[0], 3),
+           speedup_max=round(ratios[-1], 3))
 
 
 def bench_loopy(batch=256):
@@ -627,11 +704,11 @@ def bench_cutset(batch=1024):
 
     factors, sizes, values = hailfinder_like()
     t0 = time.perf_counter()
-    # state_chunk pinned to the measured-best value (32: 2.33 s/step vs 36:
-    # 3.19 s/step on v5e) and to keep the compiled program stable across
-    # bench runs — auto-sizing stays the library default
+    # auto state_chunk: the round-5 message-form inner budgets chunks by
+    # [chunk, B, sep] messages, so pinning the belief-form's value (32)
+    # would throw away most of its headroom
     eng = CutsetEngine(factors, sizes, values, target_states=1 << 14,
-                       max_enum=512, state_chunk=32)
+                       max_enum=512)
     build = time.perf_counter() - t0
     st = eng.describe()
     names = list(sizes)
@@ -680,18 +757,30 @@ def bench_cutset_fused(batch=4096):
     m[: batch // 2, 0] = 1.0
     m[batch // 2:, 1] = 1.0
     masks = {"leaf0": jnp.asarray(m)}
-    times = {}
-    for mode in ("general", "fused"):
-        dt, ct = steady(
-            partial(eng.posterior_batch, mode=mode), masks, iters=10
-        )
-        times[mode] = dt
+    import statistics
+
+    # INTERLEAVED windows: this line's committed speedup flipped sign
+    # between the round-4 builder run (0.627x) and the driver re-run
+    # (1.214x) — separate windows on the shared chip cannot support a
+    # ratio claim (VERDICT r4 weak #5)
+    bests, meds, wins = steady_interleaved_stats(
+        [
+            partial(eng.posterior_batch, masks, mode="general"),
+            partial(eng.posterior_batch, masks, mode="fused"),
+        ],
+        (),
+    )
+    for mode, med, best in zip(("general", "fused"), meds, bests):
         log(f"# cutset star (64 leaves, S=8) B={batch} mode={mode}: "
-            f"{dt*1e3:.2f} ms/step  {batch/dt:,.0f} q/s  (compile {ct:.1f}s)")
+            f"{med*1e3:.2f} ms/step [min {best*1e3:.2f}]  "
+            f"{batch/med:,.0f} q/s")
+    ratios = sorted(g / f for g, f in zip(wins[0], wins[1]))
     record("cutset fused-vs-unrolled, regular star model",
-           round(times["general"] / times["fused"], 3), "x speedup",
-           batch=batch, fused_ms=round(times["fused"] * 1e3, 3),
-           unrolled_ms=round(times["general"] * 1e3, 3))
+           round(statistics.median(ratios), 3), "x speedup",
+           batch=batch, fused_ms=round(meds[1] * 1e3, 3),
+           unrolled_ms=round(meds[0] * 1e3, 3),
+           speedup_min=round(ratios[0], 3),
+           speedup_max=round(ratios[-1], 3))
 
 
 def bench_uai_serving(batch=10240):
@@ -723,18 +812,20 @@ def bench_uai_serving(batch=10240):
         k: jnp.asarray(v)
         for k, v in batch_masks_sparse(tree.plan, evs).items()
     }
-    dt, ct = steady(eng.posterior_batch, masks, iters=10)
+    best, dt, worst, ct = steady_stats(eng.posterior_batch, masks)
     st = tree.stats()
     log(
-        f"# UAI 7x7 card-3 MRF  B={batch}: {dt*1e3:.2f} ms/step  "
+        f"# UAI 7x7 card-3 MRF  B={batch}: {dt*1e3:.2f} ms/step "
+        f"[{best*1e3:.2f}-{worst*1e3:.2f}]  "
         f"{batch/dt:,.0f} q/s  (treewidth {st['treewidth']}, "
         f"max_states {st['max_clique_states']}, plan {build*1e3:.0f} ms, "
         f"compile {ct:.1f}s)"
     )
     record("UAI 7x7 card-3 MRF batched-evidence", round(batch / dt, 1),
-           "queries/s", batch=batch, step_ms=round(dt * 1e3, 3),
-           compile_s=round(ct, 2), treewidth=st["treewidth"],
-           max_clique_states=st["max_clique_states"])
+           "queries/s", batch=batch, compile_s=round(ct, 2),
+           treewidth=st["treewidth"],
+           max_clique_states=st["max_clique_states"],
+           **ms_range(best, dt, worst))
 
 
 # ---------------------------------------------------------------------------
@@ -913,31 +1004,40 @@ def bench_scaling():
     log(f"# scaling report: {out['report']}")
 
 
+# Case ORDER is part of the methodology (VERDICT r4 #3): the
+# cheap-compile serving lines run FIRST; every heavy-compile or
+# HBM-filling case (minutes-long cutset/loopy compiles wedge the shared
+# tunnel's compile queue and degrade subsequent step timings 10-100x —
+# round-4's driver capture measured top-8 at 23 ms right after the 384 s
+# cutset_fused compile vs 0.6 ms in isolation) runs AFTER them, in a
+# fresh subprocess.
 CASES = {
     "grid6_primary": bench_grid_primary,
     "grid8": bench_grid_8x8,
     "grid12": bench_grid_12x12,
     "chain": bench_chain,
     "big_clique": bench_big_clique,
-    "classic_bns": bench_classic_bns,
-    "bf16": bench_bf16,
-    "cutset": bench_cutset,
-    "cutset_fused": bench_cutset_fused,
     "uai": bench_uai_serving,
     "tree_map": bench_tree_map,
     "mmap": bench_mmap,
     "incremental": bench_incremental,
     "division": bench_division,
+    "classic_bns": bench_classic_bns,
+    "bf16": bench_bf16,
+    "cutset": bench_cutset,
+    "cutset_fused": bench_cutset_fused,
     "loopy": bench_loopy,
     "scaling": bench_scaling,
 }
 
-# cases that run in a fresh subprocess: loopy so earlier cases' compile-queue
-# state can't pollute its measurement (round-2 anomaly), and the
-# capacity-bound HBM-filling cases (hailfinder-class at max batch) so their
-# peak allocations can't fragment the device for whatever runs next
-# (round-4: everything after the B=256 bf16 case hit RESOURCE_EXHAUSTED)
-ISOLATED = {"loopy", "bf16", "classic_bns", "cutset"}
+# cases that run in a fresh subprocess: heavy compiles (loopy, cutset,
+# cutset_fused) so their compile-queue state can't pollute anything and
+# nothing pollutes their own compile measurement (round-2 675.9s anomaly),
+# and the capacity-bound HBM-filling cases (hailfinder-class at max batch)
+# so their peak allocations can't fragment the device for whatever runs
+# next (round-4: everything after the B=256 bf16 case hit
+# RESOURCE_EXHAUSTED)
+ISOLATED = {"loopy", "bf16", "classic_bns", "cutset", "cutset_fused"}
 
 
 def run_case(name):

@@ -107,17 +107,41 @@ class CliqueGraph:
     def create_junction_tree(self) -> "JunctionTree":
         return JunctionTree(self, self._plan)
 
-    def evaluate(self, values: Sequence[np.ndarray]) -> List[np.ndarray]:
+    def evaluate(
+        self, values: Sequence[np.ndarray], size1_uncovered: bool = False
+    ) -> List[np.ndarray]:
         """Initial clique potentials (product of assigned factors, broadcast
         to full clique shape).  NOTE: unlike the reference (which leaves
         size-1 axes for clique vars not covered by any assigned factor,
-        junctiontree.py:203-226), potentials here always have the full
-        per-variable extents — the standard Hugin initialization."""
+        junctiontree.py:203-226), potentials here default to the full
+        per-variable extents — the standard Hugin initialization.
+
+        ``size1_uncovered=True`` opts into the reference's exact shape
+        semantics: each clique variable not covered by any factor assigned
+        to that clique keeps a length-1 axis.  The two forms hold identical
+        values (the product is constant along uncovered axes), so the
+        compat table is the full table sliced to index 0 there —
+        differentially tested against the reference's own uncovered-var
+        fixture (tests/test_compat.py)."""
         from .executor import evaluate_cliques
         import jax.numpy as jnp
 
         vals = [jnp.asarray(v, dtype=jnp.float32) for v in values]
-        return [np.asarray(p) for p in evaluate_cliques(self._plan, vals)]
+        full = [np.asarray(p) for p in evaluate_cliques(self._plan, vals)]
+        if not size1_uncovered:
+            return full
+        out = []
+        for c, p in enumerate(full):
+            covered = set()
+            for f_ix, mc in enumerate(self.factor_to_maxclique):
+                if mc == c:
+                    covered.update(self.factor_graph.factors[f_ix])
+            idx = tuple(
+                slice(None) if v in covered else slice(0, 1)
+                for v in self.maxcliques[c]
+            )
+            out.append(p[idx])
+        return out
 
 
     def marginalize(self, clique_beliefs) -> List[np.ndarray]:

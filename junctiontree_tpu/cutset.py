@@ -215,13 +215,21 @@ class CutsetEngine:
         st["cutset_states"] = self.num_states
         return st
 
-    def _chunk_for(self, B: int) -> int:
+    def _chunk_for(self, B: int, inner: str = "belief") -> int:
         """Cutset-axis chunk size for the lax.map programs.  Auto mode caps
-        [chunk, B, max_clique_states] working buffers at the HBM budget."""
+        the per-chunk working buffers at the HBM budget: the belief-form
+        inner materializes [chunk, B, max_clique_states] beliefs, the
+        message-form inner only [chunk, B, max_sep_states]-scale messages
+        (so its chunks can be much larger)."""
         if self._state_chunk is not None:
             return max(1, min(self.num_states, self._state_chunk))
-        states = max(1, self.plan.stats()["max_clique_states"])
-        live = 2  # XLA keeps ~two clique-sized buffers live per map step
+        st = self.plan.stats()
+        if inner == "message":
+            states = max(1, st["max_sep_states"])
+            live = 6  # a few messages + marginals live per map step
+        else:
+            states = max(1, st["max_clique_states"])
+            live = 2  # XLA keeps ~two clique-sized buffers live per step
         fit = self._chunk_budget // (4 * max(B, 1) * states * live)
         return max(1, min(self.num_states, int(fit), 256))
 
@@ -360,10 +368,14 @@ class CutsetEngine:
     ):
         """Batched posteriors + logZ over (S cutset assignments x B queries).
 
-        mode: "auto" runs the unrolled per-clique chunked program —
-        measured best on TPU v5e even where the reduced model is regular
-        (see _fused_routing); "fused" forces the stacked level-fused
-        reduced program (O(levels x groups) ops)."""
+        mode: "auto" runs the message-form chunked program (the reduced
+        model's batch-aware message program vmapped over cutset-assignment
+        chunks — message-scale memory, ~4x less persistent traffic than
+        per-element beliefs; its round-4 214 s mixed-cardinality compile
+        was fixed by the run-rank grouped slicing, ops/grouped.py);
+        "belief" forces the round-4 per-element belief-form inner;
+        "fused" forces the stacked level-fused reduced program
+        (O(levels x groups) ops)."""
         if mode == "fused":
             return self._posterior_batch_fused(mask_batch)
         import jax
@@ -416,30 +428,32 @@ class CutsetEngine:
             )  # [S]
             logw = logw + lm[:, sel].T  # [S, B]
 
-        chunk = self._chunk_for(B)
-        key = ("posterior", chunk)
+        inner_mode = "belief" if mode == "belief" else "message"
+        chunk = self._chunk_for(B, inner_mode)
+        key = ("posterior", inner_mode, chunk)
         fn = self._prog_cache.get(key)
         if fn is None:
             from functools import partial
 
-            single = partial(_single_query, plan, LOG_SUM_EXP)
-            # inner vmap over the evidence batch; the cutset axis is
-            # CHUNKED (lax.map batch_size) — a full vmap over S would
-            # materialize [S, B, clique_states] beliefs (12.7 GB on
-            # hailfinder-class at S=432, B=256); per chunk it's bounded
-            # (chunk auto-sized from the HBM budget, _chunk_for).
-            #
-            # Round-4 negative result: swapping this inner for the
-            # batch-aware program (unbatched pots, message-scale memory)
-            # to cut the [chunk, B, clique_states] belief traffic compiled
-            # 214 s on the hailfinder-class REDUCED model (mixed
-            # cardinalities drive the grouped-unroll path's op count up;
-            # the same program on the full model compiles in ~80 s) —
-            # 7x of this path's 30 s, a regression.  The chunked map is
-            # HBM-bound, not idle (2.3 s/step ~ the belief-buffer traffic
-            # at 819 GB/s), so chunk overlap cannot buy the 1.5x either;
-            # traffic reduction needs a compile-cheap message-form inner.
-            inner = jax.vmap(single, in_axes=(None, 0))
+            # the cutset axis is CHUNKED (lax.map batch_size) — a full
+            # vmap over S would blow the HBM budget; per chunk it's
+            # bounded (chunk auto-sized, _chunk_for).
+            if inner_mode == "message":
+                # Message-form inner (round-4 verdict #7, landed round 5):
+                # the reduced model's batch-aware routed program, vmapped
+                # by lax.map over the cutset-assignment chunk.  Working
+                # set is [chunk, B, sep]-scale messages instead of
+                # [chunk, B, clique_states] beliefs (~4x less persistent
+                # traffic, measured round 4).  Its round-4 attempt was
+                # reverted over a 214 s mixed-cardinality compile — fixed
+                # by the run-rank grouped slicing (ops/grouped.py).
+                from .executor import batched_propagate_program
+
+                prog_b = batched_propagate_program(plan, LOG_SUM_EXP)
+                inner = prog_b
+            else:
+                single = partial(_single_query, plan, LOG_SUM_EXP)
+                inner = jax.vmap(single, in_axes=(None, 0))
 
             def prog(pots, masks, logw, onehots):
                 margs, z = jax.lax.map(

@@ -233,30 +233,57 @@ def grouped_batched_contract(
                 del member[v]
 
     cvars = sorted(v for v in member if v not in out_set)
+    cset = set(cvars)
     unroll = 1
     for v in cvars:
         unroll *= sizes[v]
     do_unroll = unroll <= unroll_cap
 
-    views, groups, gsizes, out_flags = _grouped_views(
-        ops, ovs, batched, out_set, cvars, member, sizes,
-        split_contracted=do_unroll,
-    )
-    # TPU tiling pads the trailing two dims of every materialized tensor to
-    # (8,128)-class tiles; a high-rank view whose trailing dims are tiny
-    # explodes (measured: rank-13 view, 47 MB unpadded -> 3.96 GB padded,
-    # 85x).  When the split-contracted view rank is high, fall back to the
-    # grouped einsum (signature-fused contracted axes -> lower rank, and
-    # XLA's dot lowering collapses to 3-D forms with benign padding).
-    if do_unroll and 1 + len(groups) > 8:
+    # output-group structure: runs (in sorted var order) of OUT vars with
+    # identical operand-membership signature.  A contracted var between two
+    # same-signature out vars does not break the run: slicing removes it
+    # from every operand that holds it (signature equality means the same
+    # operands hold the neighbors), making them adjacent.
+    ogroups: List[List[int]] = []
+    okeys: List[frozenset] = []
+    for v in sorted(member):
+        if v not in out_set:
+            continue
+        k = frozenset(member[v])
+        if ogroups and okeys[-1] == k:
+            ogroups[-1].append(v)
+        else:
+            ogroups.append([v])
+            okeys.append(k)
+    ogsizes = []
+    for g in ogroups:
+        t = 1
+        for v in g:
+            t *= sizes[v]
+        ogsizes.append(t)
+    # Guard: above 8 output groups, take the grouped einsum.  Round-5
+    # measured both relaxations NEGATIVE end-to-end on the
+    # hailfinder-class posterior at its serving batch (B=256, ~15.7 of
+    # 15.75 G HBM): rank-11 unrolled accumulation OOMs (XLA materializes
+    # each term's ~3 GB broadcast under permuted layouts instead of
+    # fusing — allocation dump in the round log), and even gating by
+    # accumulator size pushed the near-capacity compile into
+    # rematerialization loops (72 s -> 98 s).  The einsum's pairwise dots
+    # reduce while multiplying, keeping intermediates compact exactly
+    # where it matters.  Also bound the emitted-op count (terms x
+    # operands) so a huge contracted space can't produce a pathological
+    # HLO graph.
+    if do_unroll and (
+        1 + len(ogroups) > 8 or unroll * max(1, n) > 4096
+    ):
         do_unroll = False
+    b = any(batched)
+
+    if not do_unroll:
         views, groups, gsizes, out_flags = _grouped_views(
             ops, ovs, batched, out_set, cvars, member, sizes,
             split_contracted=False,
         )
-    b = any(batched)
-
-    if not do_unroll:
         # Contract at grouped (low) rank via the semiring einsum: opt_einsum
         # picks a pairwise order, so a batched operand over a big clique
         # never materializes [B, union-scope] — the one-pass broadcast
@@ -282,23 +309,62 @@ def grouped_batched_contract(
         )
         if not b:
             acc = acc[None]  # unify with the tail's [lead, groups...] layout
+        out_gsizes = [gs for gs, f in zip(gsizes, out_flags) if f]
     else:
-        cpos = {}  # contracted var -> grouped axis (after batch axis)
-        for gi, (g, f) in enumerate(zip(groups, out_flags)):
-            if not f:
-                cpos[g[0]] = 1 + gi
+        # Unrolled terms at RUN rank, accumulated at GROUP rank.  The
+        # round-4 form reshaped every operand to a shared split-contracted
+        # view (each contracted var its own singleton axis interleaved
+        # with every distinct signature group) and strided-sliced it per
+        # term — on mixed-cardinality models that makes rank-9ish
+        # odd-shaped slices, which send the TPU backend's layout passes
+        # into minutes of compile (hailfinder-class reduced model: 214-238
+        # s with ANY unrolled terms, 6 s with none — round-4 STATUS), and
+        # its >8-group fallback pushed exactly the big mixed-cardinality
+        # steps onto high-rank einsums costing ~20 s of XLA compile EACH
+        # (round-5 isolation: one hailfinder distribute step = 56 s).
+        # Instead: each operand is reshaped once to its OWN minimal rank —
+        # runs of contracted-vs-output vars (rank = #run alternations +
+        # batch, typically 3-4) — sliced there with plain integer indices,
+        # and the slice reshaped to the shared output-group broadcast
+        # structure (pure reshape: slicing removes contracted axes and
+        # preserves sorted var order).  The whole multiply-accumulate
+        # chain is elementwise at group rank, so XLA fuses it into ONE
+        # pass reading each operand once (round-5 measured, isolated worst
+        # step: 19.6 s XLA / 4.1 ms -> 8.2 s / 0.05 ms); flattening terms
+        # before accumulation instead costs a materialized [B, out] copy
+        # PER TERM (measured: +3 GB peak and an HBM-bound 4 ms step).
+        infos = []
+        for i, (x, vs) in enumerate(zip(ops, ovs)):
+            runs: List[List] = []  # [size, is_contracted, vars]
+            for v in vs:
+                p = v in cset
+                if runs and runs[-1][1] == p:
+                    runs[-1][0] *= sizes[v]
+                    runs[-1][2].append(v)
+                else:
+                    runs.append([sizes[v], p, [v]])
+            lead = [x.shape[0]] if batched[i] else []
+            xr = x.reshape(lead + [r[0] for r in runs])
+            mine = set(vs)
+            gview = [x.shape[0] if batched[i] else 1] + [
+                gs if g[0] in mine else 1
+                for g, gs in zip(ogroups, ogsizes)
+            ]
+            infos.append((xr, runs, batched[i], gview))
 
         def term_slice(i: int, assign: dict) -> jnp.ndarray:
-            # index away EVERY contracted axis (operands lacking the var
-            # hold a singleton there), so all terms share one low rank
-            x = views[i]
-            mine = set(ovs[i])
-            idx = [slice(None)] * x.ndim
-            for v, ax in cpos.items():
-                idx[ax] = assign[v] if (v in mine and v in assign) else 0
-            return x[tuple(idx)]
+            xr, runs, bat, gview = infos[i]
+            idx = [slice(None)] if bat else []
+            for sz, p, rvars in runs:
+                if p and assign:
+                    j = 0
+                    for v in rvars:
+                        j = j * sizes[v] + assign[v]
+                    idx.append(j)
+                else:
+                    idx.append(slice(None))
+            return xr[tuple(idx)].reshape(gview)
 
-        cset = set(cvars)
         const_ix = [i for i in range(n) if not (set(ovs[i]) & cset)]
         var_ix = [i for i in range(n) if i not in const_ix]
 
@@ -318,9 +384,9 @@ def grouped_batched_contract(
                 acc = term if acc is None else semiring._accum(acc, term)
         if const is not None:
             acc = const if acc is None else semiring._combine(const, acc)
+        out_gsizes = list(ogsizes)
 
     # -- final: broadcast to the full grouped out extent, then lay out
-    out_gsizes = [gs for gs, f in zip(gsizes, out_flags) if f]
     full = [acc.shape[0] if b else 1] + out_gsizes
     acc = jnp.broadcast_to(acc, full)
     if flat_out:
