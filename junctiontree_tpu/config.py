@@ -105,6 +105,17 @@ class Config:
     cold_start_min_states: int = 1 << 17
     cold_start_max_sep: int = 1 << 16
 
+    # Donate the per-call evidence-mask buffers to the batched posterior
+    # program (jit donate_argnums), letting XLA reuse them as scratch
+    # during the step.  Caller-provided DEVICE arrays are defensively
+    # copied first so donation can never invalidate a buffer the caller
+    # still holds (Engine._masks_to_program_args); numpy inputs already
+    # transfer to a fresh engine-owned buffer.  Mask buffers are small
+    # (sum_v B x size_v), so this is hygiene rather than a capacity lever —
+    # measured peak on capacity-bound models is set by XLA temp buffers
+    # (Engine.memory_analysis), not arguments.
+    donate_serving_masks: bool = True
+
     def apply(self) -> "Config":
         """Push process-wide knobs (MXU precision, compile cache) into
         effect."""

@@ -224,11 +224,14 @@ class CutsetEngine:
         if self._state_chunk is not None:
             return max(1, min(self.num_states, self._state_chunk))
         st = self.plan.stats()
+        states = max(1, st["max_clique_states"])
         if inner == "message":
-            states = max(1, st["max_sep_states"])
-            live = 6  # a few messages + marginals live per map step
+            # persistent buffers are message-scale, but the big-step einsum
+            # contractions still materialize clique-scale dot intermediates
+            # per chunk element (measured round 5: budgeting by separator
+            # size OOMed at 21.7 G on the hailfinder-class reduced model)
+            live = 3
         else:
-            states = max(1, st["max_clique_states"])
             live = 2  # XLA keeps ~two clique-sized buffers live per step
         fit = self._chunk_budget // (4 * max(B, 1) * states * live)
         return max(1, min(self.num_states, int(fit), 256))
@@ -368,14 +371,19 @@ class CutsetEngine:
     ):
         """Batched posteriors + logZ over (S cutset assignments x B queries).
 
-        mode: "auto" runs the message-form chunked program (the reduced
-        model's batch-aware message program vmapped over cutset-assignment
-        chunks — message-scale memory, ~4x less persistent traffic than
-        per-element beliefs; its round-4 214 s mixed-cardinality compile
-        was fixed by the run-rank grouped slicing, ops/grouped.py);
-        "belief" forces the round-4 per-element belief-form inner;
-        "fused" forces the stacked level-fused reduced program
-        (O(levels x groups) ops)."""
+        mode: "auto" runs the unrolled per-clique belief-form chunked
+        program; "message" forces the reduced model's batch-aware message
+        program vmapped over cutset-assignment chunks; "fused" forces the
+        stacked level-fused reduced program (O(levels x groups) ops).
+
+        The message form was re-attempted in round 5 after its round-4
+        compile blocker (214 s mixed-cardinality unroll slicing) was fixed
+        — and measured WORSE end-to-end on the hailfinder-class model
+        either way: 4620 ms/step / 222 q/s with a 1378 s compile, vs the
+        belief form's ~2330 ms / 438 q/s / ~340 s.  vmap over the chunk
+        axis adds a rank to every grouped view and big-step einsum, losing
+        exactly the layouts that make the un-vmapped program fast.  It
+        stays available for environments where that trade differs."""
         if mode == "fused":
             return self._posterior_batch_fused(mask_batch)
         import jax
@@ -428,7 +436,7 @@ class CutsetEngine:
             )  # [S]
             logw = logw + lm[:, sel].T  # [S, B]
 
-        inner_mode = "belief" if mode == "belief" else "message"
+        inner_mode = "message" if mode == "message" else "belief"
         chunk = self._chunk_for(B, inner_mode)
         key = ("posterior", inner_mode, chunk)
         fn = self._prog_cache.get(key)
@@ -439,14 +447,12 @@ class CutsetEngine:
             # vmap over S would blow the HBM budget; per chunk it's
             # bounded (chunk auto-sized, _chunk_for).
             if inner_mode == "message":
-                # Message-form inner (round-4 verdict #7, landed round 5):
-                # the reduced model's batch-aware routed program, vmapped
-                # by lax.map over the cutset-assignment chunk.  Working
-                # set is [chunk, B, sep]-scale messages instead of
-                # [chunk, B, clique_states] beliefs (~4x less persistent
-                # traffic, measured round 4).  Its round-4 attempt was
-                # reverted over a 214 s mixed-cardinality compile — fixed
-                # by the run-rank grouped slicing (ops/grouped.py).
+                # Opt-in message-form inner: the reduced model's
+                # batch-aware routed program, vmapped by lax.map over the
+                # cutset-assignment chunk.  Measured SLOWER than the
+                # belief form on v5e both rounds it was tried (see the
+                # posterior_batch docstring) — kept for environments where
+                # the memory/compile trade differs.
                 from .executor import batched_propagate_program
 
                 prog_b = batched_propagate_program(plan, LOG_SUM_EXP)

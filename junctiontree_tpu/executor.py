@@ -1919,13 +1919,24 @@ class Engine:
         return out
 
     def _masks_to_program_args(self, mask_batch):
+        from .config import DEFAULT as _CFG
+
+        def owned(x):
+            # donation safety: a caller-provided DEVICE array must never be
+            # donated out from under the caller — copy it so the donated
+            # buffer is engine-owned (numpy input already transfers to a
+            # fresh buffer)
+            if _CFG.donate_serving_masks and isinstance(x, jax.Array):
+                return jnp.copy(x)
+            return jnp.asarray(x)
+
         if isinstance(mask_batch, dict):
             ids = sorted(self.plan.table.id_of(k) for k in mask_batch)
             by_id = {self.plan.table.id_of(k): v for k, v in mask_batch.items()}
-            masks = [jnp.asarray(by_id[v]) for v in ids]
+            masks = [owned(by_id[v]) for v in ids]
         else:
             ids = list(range(self.plan.num_vars))
-            masks = [jnp.asarray(m) for m in mask_batch]
+            masks = [owned(m) for m in mask_batch]
         if self._mask_sharding is not None:
             masks = [jax.device_put(m, self._mask_sharding) for m in masks]
         batch_sizes = {int(m.shape[0]) for m in masks}
@@ -2172,7 +2183,14 @@ class Engine:
                     return normed, logz
 
             with TIMERS.phase("engine.program_build"):
-                fn = jax.jit(posterior_fn)
+                from .config import DEFAULT as _CFG
+
+                fn = jax.jit(
+                    posterior_fn,
+                    donate_argnums=(
+                        (1,) if _CFG.donate_serving_masks else ()
+                    ),
+                )
             self._batched_cache[key] = fn
         if first:
             with TIMERS.phase("engine.trace_compile"):
