@@ -91,3 +91,28 @@ def test_entropy_rejects_max_product():
         eng.entropy()
     with pytest.raises(ValueError, match="probability semiring"):
         eng.entropy_batch({})
+
+
+def test_entropy_batch_impossible_and_structural_zeros():
+    """The round-5 routed entropy program (operand-log decomposition, no
+    per-element beliefs) must handle structural zeros (op*log(op) -> 0)
+    and impossible-evidence elements (H = 0, Z = 0, no NaN)."""
+    factors, sizes = grid_mrf(3, 3)
+    values = random_values(factors, sizes, seed=9)
+    pair_ix = next(i for i, f in enumerate(factors) if len(f) == 2)
+    values[pair_ix][:, 0] = 0.0  # structural zero
+    eng = Engine(compile_plan(factors, sizes)).set_potentials(values)
+    B = 3
+    m = np.ones((B, 2), dtype=np.float32)
+    m[0] = [0.0, 0.0]   # impossible
+    m[1] = [1.0, 0.0]
+    ents, zs = eng.entropy_batch({"g0_0": m})
+    ents, zs = np.asarray(ents), np.asarray(zs)
+    assert not np.isnan(ents).any() and not np.isnan(zs).any()
+    assert ents[0] == 0.0 and zs[0] == 0.0
+    for b, ev in enumerate([None, {"g0_0": 0}, None]):
+        if b == 0:
+            continue
+        h0, z0 = _oracle_entropy(factors, sizes, values, ev)
+        assert ents[b] == pytest.approx(h0, abs=1e-5)
+        assert zs[b] == pytest.approx(z0, rel=1e-5)
