@@ -35,6 +35,20 @@ from .ops.semirings import LOG_SUM_EXP
 from .schedule import compile_plan
 
 
+def _expnorm_safe(lp):
+    """exp-normalize log scores along the last axis; rows where every score
+    is impossible (non-finite logsumexp, or the _NEG clamp floor) return
+    ZEROS instead of NaN — the same impossible-evidence contract as
+    Engine.posterior_batch (zero posteriors, logZ=-inf; round-5 driving
+    found the cutset aggregations produced NaN there)."""
+    import jax.nn
+    import jax.numpy as jnp
+
+    lse = jax.nn.logsumexp(lp, axis=-1, keepdims=True)
+    bad = ~jnp.isfinite(lse) | (lse < -1e29)
+    return jnp.where(bad, 0.0, jnp.exp(lp - jnp.where(bad, 0.0, lse)))
+
+
 def _max_states(factors, sizes, heuristic="min_fill") -> int:
     from .labels import intern_factors
     from .triangulate import min_fill_triangulation
@@ -342,19 +356,24 @@ class CutsetEngine:
                     lp = jnp.where(m > 0, jnp.log(jnp.maximum(m, _TINY)), _NEG)
                     lp = lp + z[:, :, None]
                     lp = jax.nn.logsumexp(lp, axis=0)              # [B, K]
-                    posts.append(jnp.exp(
-                        lp - jax.nn.logsumexp(lp, axis=-1, keepdims=True)
-                    ))
+                    posts.append(_expnorm_safe(lp))
                 cut_posts = []
                 for oh in onehots:                                  # [S, card]
                     m2 = z[:, :, None] + oh[:, None, :]
                     m2 = jax.nn.logsumexp(m2, axis=0)
-                    cut_posts.append(jnp.exp(
-                        m2 - jax.nn.logsumexp(m2, axis=-1, keepdims=True)
-                    ))
+                    cut_posts.append(_expnorm_safe(m2))
                 return posts, cut_posts, logz
 
-            fn = jax.jit(agg)
+            from .config import DEFAULT as _CFG
+
+            # donate the per-call mask/weight buffers (built fresh from
+            # host arrays above, never retained by the engine)
+            fn = jax.jit(
+                agg,
+                donate_argnums=(
+                    (1, 2) if _CFG.donate_serving_masks else ()
+                ),
+            )
             self._prog_cache[key] = fn
 
         onehots = [self._onehot[v] for v in self.cutset]
@@ -471,21 +490,25 @@ class CutsetEngine:
                 for v in range(plan.num_vars):
                     m = margs[v] + logw[:, :, None]            # [S, B, K]
                     m = jax.nn.logsumexp(m, axis=0)            # [B, K]
-                    m = jnp.exp(
-                        m - jax.nn.logsumexp(m, axis=-1, keepdims=True)
-                    )
-                    posts.append(m)
+                    posts.append(_expnorm_safe(m))
                 cut_posts = []
                 for oh in onehots:                              # [S, card]
                     m = z[:, :, None] + oh[:, None, :]          # [S, B, card]
                     m = jax.nn.logsumexp(m, axis=0)
-                    m = jnp.exp(
-                        m - jax.nn.logsumexp(m, axis=-1, keepdims=True)
-                    )
-                    cut_posts.append(m)
+                    cut_posts.append(_expnorm_safe(m))
                 return posts, cut_posts, logz
 
-            fn = jax.jit(prog)
+            from .config import DEFAULT as _CFG
+
+            # donate the per-call mask/weight buffers — the chunked map's
+            # [S, B, ...] intermediates sit on top of persistent pots, so
+            # every freed input byte extends the feasible (S-chunk, B) box
+            fn = jax.jit(
+                prog,
+                donate_argnums=(
+                    (1, 2) if _CFG.donate_serving_masks else ()
+                ),
+            )
             self._prog_cache[key] = fn
 
         onehots = [self._onehot[v] for v in self.cutset]
@@ -580,7 +603,14 @@ class CutsetEngine:
                 )[0]                                             # [B, n_red]
                 return sel, best, top
 
-            fn = jax.jit(mp)
+            from .config import DEFAULT as _CFG
+
+            fn = jax.jit(
+                mp,
+                donate_argnums=(
+                    (1, 2) if _CFG.donate_serving_masks else ()
+                ),
+            )
             self._prog_cache[key] = fn
 
         # max-product wants log-space potentials — self._pots already are

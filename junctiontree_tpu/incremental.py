@@ -274,9 +274,19 @@ class IncrementalSession:
         dirty subtrees are reused; cost is O(path depth), not O(cliques)."""
         if not updates:
             raise ValueError("query() needs at least one updated mask")
+        from .config import DEFAULT as _CFG
+
         dirty = self._resolve(updates)
         qids = self._resolve(query_vars)
-        new_masks = [jnp.asarray(updates[k]) for k in updates]
+        # donation safety (same contract as Engine._masks_to_program_args):
+        # a caller-provided DEVICE array must never be donated out from
+        # under the caller — copy it so the donated buffer is session-owned
+        new_masks = [
+            jnp.copy(updates[k])
+            if _CFG.donate_serving_masks and isinstance(updates[k], jax.Array)
+            else jnp.asarray(updates[k])
+            for k in updates
+        ]
         for v, m in zip(dirty, new_masks):
             if m.shape != (self._B, self.plan.sizes[v]):
                 raise ValueError(
@@ -286,11 +296,17 @@ class IncrementalSession:
         key = (dirty, qids)
         fn = self._delta_cache.get(key)
         if fn is None:
+            # donate the per-call update masks (VERDICT r4 #5: serving-path
+            # buffers); the cached collect messages / base masks / pots are
+            # reused across queries and must NOT be donated
             fn = jax.jit(
                 delta_program(
                     self.plan, self.engine.semiring, list(self._ids),
                     self._batched, list(dirty), list(qids),
-                )
+                ),
+                donate_argnums=(
+                    (2,) if _CFG.donate_serving_masks else ()
+                ),
             )
             self._delta_cache[key] = fn
         return fn(self._pots, self._masks, new_masks, self._ups, self._offs)

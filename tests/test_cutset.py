@@ -329,3 +329,33 @@ def test_cutset_fused_structural_check_and_parity():
     hf, hs, hv = hailfinder_like()
     hce = CutsetEngine(hf, hs, hv, target_states=1 << 14, max_enum=512)
     assert not hce._fused_routing()
+
+
+def test_cutset_impossible_evidence_zero_posteriors():
+    """Impossible evidence through every cutset serving mode must follow the
+    engine's contract — zero posteriors and logZ=-inf, never NaN (round-5
+    driving found the aggregations produced NaN; Engine.posterior_batch and
+    joint_marginal_batch already guard this)."""
+    factors, sizes, values = grid_mrf_model(4, 4, seed=0)
+    names = list(sizes)
+    B = 3
+    ce = CutsetEngine(factors, sizes, values, cutset=[names[5]])
+    imp = {names[0]: np.zeros((B, 2), dtype=np.float32)}
+    for mode in ("auto", "fused"):
+        out, logz = ce.posterior_batch(imp, mode=mode)
+        assert np.all(np.isneginf(np.asarray(logz))), mode
+        for v, p in out.items():
+            arr = np.asarray(p)
+            assert not np.isnan(arr).any(), (mode, v)
+            np.testing.assert_allclose(arr, 0.0, rtol=0, err_msg=str((mode, v)))
+    # a mixed batch: one impossible row, two possible rows
+    m = np.ones((B, 2), dtype=np.float32)
+    m[1] = 0.0
+    out, logz = ce.posterior_batch({names[0]: m})
+    logz = np.asarray(logz)
+    assert np.isneginf(logz[1]) and np.isfinite(logz[0]) and np.isfinite(logz[2])
+    for v, p in out.items():
+        arr = np.asarray(p)
+        assert not np.isnan(arr).any(), v
+        np.testing.assert_allclose(arr[1], 0.0, rtol=0)
+        np.testing.assert_allclose(arr[0].sum(), 1.0, rtol=1e-5)

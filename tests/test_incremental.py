@@ -143,3 +143,33 @@ def test_chain_depth_paths():
     np.testing.assert_allclose(
         np.asarray(got[0]), np.asarray(full_posts[vid]), rtol=1e-6
     )
+
+
+def test_delta_donation_preserves_caller_buffers():
+    """sess.query donates its per-call update-mask buffers to the compiled
+    delta program (config.donate_serving_masks); caller-provided DEVICE
+    arrays must be defensively copied so the caller's buffers survive and
+    repeated queries with the SAME array keep working (VERDICT r4 #5).
+    On CPU donation is advisory — the copy path is what's exercised; the
+    asserted invariant (caller array readable, results reproducible) is
+    backend-independent."""
+    import jax.numpy as jnp
+
+    from junctiontree_tpu.config import DEFAULT
+
+    assert DEFAULT.donate_serving_masks  # default-on
+    eng, masks, sizes = _setup()
+    sess = eng.incremental(masks)
+    dirty = next(iter(masks))
+    qvars = [list(sizes)[7], dirty]
+    m = jnp.asarray(np.tile(
+        np.array([[0.0, 1.0]], dtype=np.float32),
+        (masks[dirty].shape[0], 1),
+    ))
+    p1, z1 = sess.query({dirty: m}, qvars)
+    p2, z2 = sess.query({dirty: m}, qvars)  # same device array again
+    np.testing.assert_allclose(np.asarray(m)[:, 0], 0.0, rtol=0)
+    np.testing.assert_allclose(np.asarray(m)[:, 1], 1.0, rtol=0)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -525,5 +525,46 @@ def hf_variants():
             print(f"{name} failed: {type(e).__name__}: {e}", flush=True)
 
 
+
+
+def hf_mem():
+    """VERDICT r4 #4: hailfinder-class f32 memory after the run-rank
+    grouped-slicing change — XLA memory_analysis at B=128/256 plus a real
+    B=256 f32 serve attempt (round 4: OOM at 15.8 GiB, ~40% layout-padding
+    waste)."""
+    import jax
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import hailfinder_like
+
+    factors, sizes, values = hailfinder_like()
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    observed = list(sizes)[::3]
+    for B in (128, 256):
+        evs = random_evidence_batch(tree.plan, B, observed, seed=3)
+        masks = {k: jnp.asarray(v)
+                 for k, v in batch_masks_sparse(tree.plan, evs).items()}
+        t0 = time.perf_counter()
+        ma = eng.memory_analysis(masks)
+        dt = time.perf_counter() - t0
+        print(f"B={B} analysis ({dt:.0f}s): "
+              + " ".join(f"{k}={v/(1<<30):.2f}G" for k, v in ma.items()
+                         if k.endswith("bytes"))
+              + f" fits={ma.get('fits')}")
+    # real serve at B=256 f32
+    evs = random_evidence_batch(tree.plan, 256, observed, seed=3)
+    masks = {k: jnp.asarray(v)
+             for k, v in batch_masks_sparse(tree.plan, evs).items()}
+    try:
+        first, best = _steady(eng.posterior_batch, masks)
+        print(f"B=256 f32 SERVES: first={first:.1f}s step={best*1e3:.2f}ms "
+              f"qps={256/best:,.0f}")
+    except Exception as e:  # noqa: BLE001
+        print(f"B=256 f32 FAILS: {type(e).__name__}: {str(e)[:300]}")
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()
