@@ -687,6 +687,30 @@ def bench_bf16(batch=4096):
                f32_qps=round(qps["float32"][1], 1),
                speedup=round(qps["bfloat16"][1] / qps["float32"][1], 3),
                f32_memory_analysis=ma)
+
+        # regime 3: f32 CHUNKED capacity serving — double the feasible f32
+        # batch through one compiled lax.map over chunk-sized slices (the
+        # B=2*chunk monolith needs 18.4 of 15.75 GiB on this model,
+        # measured round 5; the chunked program's peak is the chunk's)
+        DEFAULT.storage_dtype = "float32"
+        eng = tree.engine().set_potentials(values)
+        b_chunk = min(batch, eng.max_feasible_batch())
+        b_full = 2 * b_chunk
+        evs = random_evidence_batch(tree.plan, b_full, list(sizes)[::3],
+                                    seed=7)
+        m = {
+            k: jnp.asarray(v)
+            for k, v in batch_masks_sparse(tree.plan, evs).items()
+        }
+        t, ct = steady(
+            lambda: eng.posterior_batch(m, chunk=b_chunk), iters=10
+        )
+        log(f"# Hailfinder-class f32 chunked serving: B={b_full} "
+            f"(chunk={b_chunk}) {t*1e3:.2f} ms/step  {b_full/t:,.0f} q/s")
+        record("Hailfinder-class f32 chunked capacity serving",
+               round(b_full / t, 1), "queries/s", batch=b_full,
+               chunk=b_chunk, step_ms=round(t * 1e3, 3),
+               compile_s=round(ct, 1))
     finally:
         DEFAULT.storage_dtype = old
 

@@ -190,3 +190,38 @@ def test_donated_masks_do_not_invalidate_caller_buffers():
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6)
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_posterior_batch_chunked_matches_unchunked():
+    """chunk= serves the batch in fixed-size row chunks through ONE cached
+    executable (capacity escape hatch for HBM-pinned models); results must
+    be exactly the unchunked program's, including a padded partial final
+    chunk and every routing mode (general / fused / chain-scan)."""
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import chain_bn_model, grid_mrf_model
+
+    for factors, sizes, values in (
+        grid_mrf_model(4, 4, seed=2),
+        chain_bn_model(12, seed=3),
+    ):
+        tree = jt.create_junction_tree(factors, sizes)
+        eng = tree.engine().set_potentials(values)
+        B = 7  # deliberately not a multiple of chunk=3
+        observed = list(sizes)[:3]
+        evs = random_evidence_batch(tree.plan, B, observed, seed=5)
+        masks = batch_masks_sparse(tree.plan, evs)
+        want_p, want_z = eng.posterior_batch(masks)
+        got_p, got_z = eng.posterior_batch(masks, chunk=3)
+        np.testing.assert_allclose(
+            np.asarray(got_z), np.asarray(want_z), rtol=1e-6
+        )
+        for a, b in zip(got_p, want_p):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9
+            )
+        # B <= chunk degenerates to the plain path
+        got_p2, got_z2 = eng.posterior_batch(masks, chunk=64)
+        np.testing.assert_allclose(
+            np.asarray(got_z2), np.asarray(want_z), rtol=1e-6
+        )

@@ -566,5 +566,33 @@ def hf_mem():
         print(f"B=256 f32 FAILS: {type(e).__name__}: {str(e)[:300]}")
 
 
+def hf_chunked():
+    """Chunked serving: hailfinder-class f32 B=256 via chunk=128 (the
+    B=256 monolith needs 18.4 of 15.75 GiB — measured OOM; the chunked
+    path reuses the B=128 executable)."""
+    import jax.numpy as jnp
+
+    import junctiontree_tpu as jt
+    from junctiontree_tpu.evidence import batch_masks_sparse, random_evidence_batch
+    from junctiontree_tpu.models import hailfinder_like
+
+    factors, sizes, values = hailfinder_like()
+    tree = jt.create_junction_tree(factors, sizes)
+    eng = tree.engine().set_potentials(values)
+    observed = list(sizes)[::3]
+    evs = random_evidence_batch(tree.plan, 256, observed, seed=3)
+    masks = {k: jnp.asarray(v)
+             for k, v in batch_masks_sparse(tree.plan, evs).items()}
+    first, best = _steady(lambda m: eng.posterior_batch(m, chunk=128), masks)
+    print(f"B=256 f32 chunk=128: first={first:.1f}s step={best*1e3:.2f}ms "
+          f"qps={256/best:,.0f}")
+    # and a padded partial chunk at B=300
+    evs = random_evidence_batch(tree.plan, 300, observed, seed=4)
+    masks = {k: jnp.asarray(v)
+             for k, v in batch_masks_sparse(tree.plan, evs).items()}
+    first, best = _steady(lambda m: eng.posterior_batch(m, chunk=128), masks)
+    print(f"B=300 f32 chunk=128: step={best*1e3:.2f}ms qps={300/best:,.0f}")
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()
