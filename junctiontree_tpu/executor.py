@@ -2449,19 +2449,26 @@ class Engine:
         }
         return out, float(np.asarray(score)[0])
 
-    def map_assignment_batch(self, mask_batch):
+    def map_assignment_batch(self, mask_batch, chunk: Optional[int] = None):
         """Batched MAP queries: exact max-product with backpointer traceback
         over the whole evidence batch in one program — chain plans use the
         lax.scan Viterbi program, general trees the static tree-MAP program
         (map_executor.tree_map_program).
 
         ``mask_batch``: dict {var label: [B, size_v]} of LOG-space masks
-        (0 / -inf).  Returns (assignments [B, num_vars] int32, scores [B])
-        as device arrays — call np.asarray on them to materialize on host
-        (kept on device so serving pipelines avoid the transfer)."""
+        (0 / -inf).  ``chunk``: bound the HBM peak to chunk-sized slices
+        via one compiled ``lax.map`` (the tree-MAP program materializes
+        [B, clique_states] score tensors for the backpointer argmax, so
+        MAP capacity is batch-bound exactly like the posterior program —
+        same design as ``posterior_batch(chunk=)``).  Returns
+        (assignments [B, num_vars] int32, scores [B]) as device arrays —
+        call np.asarray on them to materialize on host (kept on device so
+        serving pipelines avoid the transfer)."""
         if self.semiring.name != "max_product":
-            return self._max_delegate().map_assignment_batch(mask_batch)
+            return self._max_delegate().map_assignment_batch(mask_batch, chunk)
         self._require_pots()
+        if chunk is not None and self._mask_sharding is None:
+            return self._tree_map_batch_chunked(mask_batch, int(chunk))
         layout = self._chain_layout()
         if layout is None:
             return self._tree_map_batch(mask_batch)
@@ -2636,6 +2643,57 @@ class Engine:
             fn = jax.jit(tree_map_program(plan, list(ids)))
             self._batched_cache[key] = fn
         return fn(pots, [logmasks[v] for v in ids])
+
+    def _tree_map_batch_chunked(self, mask_batch, chunk: int):
+        """Chunk-bounded batched MAP: one compiled ``lax.map`` of the
+        tree-MAP program over [n_chunks, chunk, size] mask slices (partial
+        final chunk padded with all-ZEROS log-masks = unobserved, outputs
+        sliced back).  Exact — per-element decodes are independent."""
+        from .map_executor import tree_map_program
+
+        if chunk < 1:
+            raise ValueError("chunk must be >= 1")
+        plan = self.plan
+        pots = self._require_pots()
+        logmasks = {
+            plan.table.id_of(k): jnp.asarray(v)
+            for k, v in mask_batch.items()
+        }
+        if not logmasks:
+            logmasks[0] = jnp.zeros((1, plan.sizes[0]), dtype=jnp.float32)
+        ids = tuple(sorted(logmasks))
+        masks = [logmasks[v] for v in ids]
+        B = int(masks[0].shape[0])
+        if B <= chunk:
+            return self.map_assignment_batch(mask_batch)
+        n = -(-B // chunk)
+        padded = n * chunk
+        num_pad = padded - B
+        key = ("tree_map_chunked", ids, n, chunk, B)
+        fn = self._batched_cache.get(key)
+        if fn is None:
+            prog = tree_map_program(plan, list(ids))
+
+            def chunked_fn(pots, masks):
+                stacked = []
+                for m in masks:
+                    if num_pad:
+                        m = jnp.concatenate(
+                            [m, jnp.zeros((num_pad, m.shape[1]), m.dtype)],
+                            axis=0,
+                        )
+                    stacked.append(m.reshape(n, chunk, m.shape[1]))
+                assign, score = jax.lax.map(
+                    lambda ms: prog(pots, ms), stacked
+                )
+                return (
+                    assign.reshape(padded, -1)[:B],
+                    score.reshape(padded)[:B],
+                )
+
+            fn = jax.jit(chunked_fn)
+            self._batched_cache[key] = fn
+        return fn(pots, masks)
 
     def _max_delegate(self) -> "Engine":
         """Cached max-product sibling engine for MAP queries from non-MAP
